@@ -1,0 +1,170 @@
+"""HDF5 dataset reader with reference-loader parity.
+
+Parity target: `karel_env/dataset_karel.py` (the ViZDoom variant adds
+init-pos tensors, handled by the vizdoom subclass later). Every padding /
+one-hot convention below is load-bearing for metric parity:
+
+  * program one-hot: [num_program_tokens, max_program_len] bool
+    (`dataset_karel.py:45-46`)
+  * action one-hot: [max_demo_len, num_action_tokens+1]; the <e> end token
+    occupies index num_action_tokens (`:66-77`).
+    QUIRK (replicated): the reference marks actual tokens AND the zero
+    padding of the per-program a_h matrix (which argmax-decodes to action 0
+    'move'), then puts <e> at row `a_h.shape[1]` — the per-PROGRAM max
+    action length — for every demo, not at each demo's own length
+    (`:69-76`: `len(a_h_tokens)` is the padded row length). Demos shorter
+    than their program's longest demo are therefore supervised with 'move'
+    padding inside the loss mask. We reproduce this exactly.
+  * demo_len is the state-history length (actions + 1); the action decoders
+    use it as their sequence length too (`model_full.py:173`)
+  * num_k slices the leading demo axis of seen-demo tensors only (`:111-115`)
+
+Split membership: id.txt order → first num_train / next num_test / next
+num_val, each shuffled by a fixed RandomState(123) (`dataset_karel.py:11,
+143-160`) so runs are comparable with the reference.
+"""
+
+import os.path as osp
+
+import h5py
+import numpy as np
+
+from demo2program_tpu.utils import log
+
+_SPLIT_RNG_SEED = 123
+
+
+def _scalar(ds):
+    v = ds[()]
+    if isinstance(v, bytes):
+        return v.decode()
+    return v
+
+
+class KarelDataset:
+    def __init__(self, ids, dataset_path, name="default", num_k=10,
+                 is_train=True):
+        self._ids = list(ids)
+        self.name = name
+        self.num_k = num_k
+        self.is_train = is_train
+        self.dataset_path = dataset_path
+
+        filename = osp.join(dataset_path, "data.hdf5")
+        log.info("Reading %s ...", filename)
+        self.data = h5py.File(filename, "r")
+        info = self.data["data_info"]
+        self.dsl_type = _scalar(info["dsl_type"])
+        self.num_demo = int(_scalar(info["num_demo_per_program"]))
+        self.max_demo_len = int(_scalar(info["max_demo_length"]))
+        self.max_program_len = int(_scalar(info["max_program_length"]))
+        self.num_program_tokens = int(_scalar(info["num_program_tokens"]))
+        self.num_action_tokens = int(_scalar(info["num_action_tokens"]))
+        self.env_type = (_scalar(info["env_type"])
+                         if "env_type" in info else None)
+
+    # -- single-example load --------------------------------------------------
+    def _action_onehots(self, a_h_rows):
+        """Reference-exact action one-hot construction incl. the padded-'move'
+        + fixed <e> position quirk (`dataset_karel.py:66-94`)."""
+        out = []
+        row_len = a_h_rows.shape[1]
+        for row in a_h_rows:
+            oh = np.zeros([self.max_demo_len, self.num_action_tokens + 1],
+                          dtype=bool)
+            oh[np.arange(row_len), row] = True
+            oh[row_len, self.num_action_tokens] = True  # <e>
+            out.append(oh)
+        onehot = np.stack(out, axis=0)
+        tokens = np.argmax(onehot, axis=2)
+        return onehot, tokens
+
+    def get_data(self, id_):
+        grp = self.data[id_]
+        program_tokens = grp["program"][()]
+        program = np.zeros(
+            [self.num_program_tokens, self.max_program_len], dtype=bool)
+        program[program_tokens, np.arange(len(program_tokens))] = True
+        padded_program_tokens = np.zeros(
+            [self.max_program_len], dtype=program_tokens.dtype)
+        padded_program_tokens[:len(program_tokens)] = program_tokens
+
+        def pad_demo(arr):
+            sz = arr.shape
+            out = np.zeros([sz[0], self.max_demo_len] + list(sz[2:]),
+                           dtype=arr.dtype)
+            out[:, :sz[1]] = arr
+            return out
+
+        demo = pad_demo(grp["s_h"][()])
+        test_demo = pad_demo(grp["test_s_h"][()])
+
+        per_key = "p_v_h" if "p_v_h" in grp else "per"
+        test_per_key = "test_p_v_h" if "test_p_v_h" in grp else "test_per"
+        per = pad_demo(grp[per_key][()])
+        test_per = pad_demo(grp[test_per_key][()])
+
+        a_h, a_h_tokens = self._action_onehots(grp["a_h"][()])
+        test_a_h, test_a_h_tokens = self._action_onehots(grp["test_a_h"][()])
+
+        program_len = np.array([len(program_tokens)], dtype=np.float32)
+        demo_len = grp["s_h_len"][()]
+        test_demo_len = grp["test_s_h_len"][()]
+
+        k = self.num_k
+        return {
+            "id": id_,
+            "program": program.astype(np.float32),
+            "program_tokens": padded_program_tokens.astype(np.int32),
+            "s_h": demo[:k].astype(np.float32),
+            "test_s_h": test_demo.astype(np.float32),
+            "a_h": a_h[:k].astype(np.float32),
+            "a_h_tokens": a_h_tokens[:k].astype(np.int32),
+            "test_a_h": test_a_h.astype(np.float32),
+            "test_a_h_tokens": test_a_h_tokens.astype(np.int32),
+            "program_len": program_len.astype(np.float32),
+            "demo_len": demo_len[:k].astype(np.float32),
+            "test_demo_len": test_demo_len.astype(np.float32),
+            "per": per[:k].astype(np.float32),
+            "test_per": test_per.astype(np.float32),
+        }
+
+    @property
+    def ids(self):
+        return self._ids
+
+    def __len__(self):
+        return len(self._ids)
+
+    def __repr__(self):
+        return f"KarelDataset ({self.name}, {len(self)} examples)"
+
+
+def all_ids(dataset_path, rng_seed=_SPLIT_RNG_SEED):
+    with h5py.File(osp.join(dataset_path, "data.hdf5"), "r") as f:
+        num_train = int(_scalar(f["data_info"]["num_train"]))
+        num_test = int(_scalar(f["data_info"]["num_test"]))
+        num_val = int(_scalar(f["data_info"]["num_val"]))
+    with open(osp.join(dataset_path, "id.txt")) as fp:
+        ids_total = [s.strip() for s in fp.readlines() if s.strip()]
+
+    ids_train = ids_total[:num_train]
+    ids_test = ids_total[num_train:num_train + num_test]
+    ids_val = ids_total[num_train + num_test:num_train + num_test + num_val]
+
+    # fixed-seed shuffles, in the reference's call order
+    # (`dataset_karel.py:156-158` sharing one RandomState(123))
+    rs = np.random.RandomState(rng_seed)
+    rs.shuffle(ids_train)
+    rs.shuffle(ids_test)
+    rs.shuffle(ids_val)
+    return ids_train, ids_test, ids_val
+
+
+def create_default_splits(dataset_path, num_k=10, is_train=True,
+                          dataset_cls=None):
+    cls = dataset_cls or KarelDataset
+    ids_train, ids_test, ids_val = all_ids(dataset_path)
+    return (cls(ids_train, dataset_path, "train", num_k, is_train),
+            cls(ids_test, dataset_path, "test", num_k, is_train),
+            cls(ids_val, dataset_path, "val", num_k, is_train))

@@ -1,0 +1,92 @@
+"""Host→device input pipeline.
+
+Replaces the reference's TF queue-runner pipeline
+(`karel_env/input_ops_karel.py:24-125`: string_input_producer → py_func →
+shuffle_batch with 16 threads) with a thread-pool prefetcher that assembles
+numpy batches ahead of the training step. Unlike the reference — which
+dequeues each batch to host and re-feeds it through placeholders
+(`trainer.py:189-199`, doubling the host↔device traffic) — batches here are
+transferred once, directly to their final (possibly sharded) device layout.
+"""
+
+import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class BatchPipeline:
+    """Iterates dict batches over a KarelDataset.
+
+    shuffle=True -> epoch-reshuffled infinite stream (training);
+    shuffle=False -> sequential epochs (eval), dropping the ragged tail like
+    the reference's fixed `max_steps = len(ids) // batch_size`
+    (`evaler.py:448-449`).
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 num_threads=16, prefetch=4, sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.sharding = sharding
+        self._pool = ThreadPoolExecutor(max_workers=num_threads)
+        self._prefetch = prefetch
+        self._queue = deque()
+        self._id_iter = self._make_id_iter()
+        self._lock = threading.Lock()
+
+    def _make_id_iter(self):
+        ids = list(self.dataset.ids)
+        while True:
+            order = list(range(len(ids)))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            n_full = len(order) // self.batch_size
+            for b in range(n_full):
+                yield [ids[i] for i in
+                       order[b * self.batch_size:(b + 1) * self.batch_size]]
+            if not self.shuffle:
+                return  # single epoch for eval
+
+    def steps_per_epoch(self):
+        return len(self.dataset) // self.batch_size
+
+    def _load_batch(self, id_batch):
+        items = list(self._pool.map(self.dataset.get_data, id_batch))
+        batch = {}
+        for key in items[0]:
+            if key == "id":
+                batch[key] = np.array([it[key] for it in items])
+            else:
+                batch[key] = np.stack([it[key] for it in items], axis=0)
+        return batch
+
+    def _ensure_prefetch(self):
+        with self._lock:
+            while len(self._queue) < self._prefetch:
+                try:
+                    id_batch = next(self._id_iter)
+                except StopIteration:
+                    break
+                self._queue.append(
+                    self._pool.submit(self._load_batch, id_batch))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._ensure_prefetch()
+        if not self._queue:
+            raise StopIteration
+        batch = self._queue.popleft().result()
+        self._ensure_prefetch()
+        if self.sharding is not None:
+            import jax
+            batch = {
+                k: (jax.device_put(v, self.sharding) if k != "id" else v)
+                for k, v in batch.items()
+            }
+        return batch
