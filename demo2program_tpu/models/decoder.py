@@ -1,0 +1,184 @@
+"""Sequence decoders (program / action / perception heads).
+
+Architecture parity: `models/model_full.py:406-599` — a single-layer LSTM
+whose initial state is the demo summary (c, h), a learned token embedding,
+and a bias-free output projection, with three unroll modes (teacher forcing,
+scheduled sampling, greedy) sharing weights.
+
+Quirks replicated deliberately:
+  * the embedding table has token_dim+1 rows; teacher forcing prepends a
+    start token with id token_dim+1, which is OUT OF RANGE and on the
+    reference's GPU silently embeds to ZEROS (`model_full.py:288-291,
+    447-450`). We embed via one_hot(num_classes=token_dim+1) @ table, which
+    reproduces the zero embedding exactly. Greedy decoding uses the in-range
+    id token_dim (the real last row) as its start token
+    (`model_full.py:426-427`).
+  * greedy end tokens: 'm)' for programs, token_dim-1 (<e>) for actions
+    (`model_full.py:429-432`).
+  * predicted length = first-end-token position + 1, or max_len if the end
+    token is never emitted (dynamic_decode's final_sequence_lengths).
+  * the perception head is ALWAYS teacher-forced — even on the "greedy"
+    path (`model_full.py:409`) — and feeds the current target vector as
+    input without a one-step shift (`model_full.py:447-456` skips the
+    <s>-prepend for sequence_type 'per').
+  * scheduled sampling follows ScheduledEmbeddingTrainingHelper: per element
+    and step, with probability sampling_prob a token is drawn from the
+    step's softmax and its embedding replaces the next ground-truth input
+    (`model_full.py:414-423`; the trainer decays sample_prob 1.0 -> 0.1,
+    sampling_prob = 1 - sample_prob).
+
+Known deviation (documented): the reference zero-pads greedy logits past the
+batch-global stop step (dynamic_decode early exit); we compute logits for all
+max_len steps. Predicted tokens/lengths — everything that feeds accuracy,
+syntax and execution metrics — are unaffected.
+
+TPU shape notes: teacher forcing embeds all steps as one (bs*L, V+1)@(V+1, E)
+matmul and projects all hidden states as one (bs*L, H)@(H, V) matmul; only
+the recurrence itself is a scan.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from demo2program_tpu.models.ops import FC
+
+
+def _cell_only_step(cell, carry, x):
+    return cell(carry, x)
+
+
+_scan_cell = nn.scan(
+    _cell_only_step,
+    variable_broadcast="params",
+    split_rngs={"params": False},
+    in_axes=1, out_axes=1)
+
+
+class _DecoderCore(nn.Module):
+    """Embedding + LSTM cell + projection bundle, so full decode steps can be
+    lifted through nn.scan as a single module."""
+    token_dim: int
+    units: int
+
+    def setup(self):
+        self.embedding = self.param(
+            "embedding",
+            nn.initializers.uniform(scale=0.02),  # ~ tf U(-0.01, 0.01)
+            (self.token_dim + 1, self.units))
+        self.cell = nn.OptimizedLSTMCell(self.units)
+        self.proj = nn.Dense(self.token_dim, use_bias=False,
+                             name="output_projection")
+
+    def embed(self, ids):
+        # one_hot of id == token_dim+1 (out of range) -> zero vector
+        oh = jax.nn.one_hot(ids, self.token_dim + 1,
+                            dtype=self.embedding.dtype)
+        return oh @ self.embedding
+
+    def run_tf(self, init_c, init_h, input_ids):
+        """Teacher-forced unroll over pre-known input ids (bs, L)."""
+        inputs = self.embed(input_ids)
+        _, outs = _scan_cell(self.cell, (init_c, init_h), inputs)
+        return self.proj(outs)
+
+    def __call__(self, carry, inp):
+        """One full decode step for lifted scans. carry[1] is the previous
+        token id; inp carries mode-specific payload."""
+        (c, h), prev_tok = carry
+        x = self.embed(prev_tok)
+        if inp is not None:
+            gt_x, use_prev = inp
+            x = jnp.where(use_prev[:, None], x, gt_x)
+        (c, h), out = self.cell((c, h), x)
+        logits = self.proj(out)
+        return ((c, h), logits)
+
+
+class TokenDecoder(nn.Module):
+    """LSTM token decoder with shared-weight unroll modes."""
+    token_dim: int
+    units: int
+    end_token: int
+
+    def setup(self):
+        self.core = _DecoderCore(self.token_dim, self.units, name="core")
+
+    def _shift_gt(self, gt_tokens):
+        start = jnp.full((gt_tokens.shape[0], 1), self.token_dim + 1,
+                         dtype=gt_tokens.dtype)
+        return jnp.concatenate([start, gt_tokens[:, :-1]], axis=1)
+
+    def teacher_forced(self, init_c, init_h, gt_tokens):
+        """gt_tokens (bs, L) -> logits (bs, L, token_dim)."""
+        return self.core.run_tf(init_c, init_h, self._shift_gt(gt_tokens))
+
+    def greedy(self, init_c, init_h, max_len):
+        """-> (logits (bs, L, V), tokens (bs, L), lengths (bs,))."""
+        bs = init_c.shape[0]
+        end_token = self.end_token
+
+        def step(core, carry, _):
+            state, prev, finished, length, t = carry
+            state, logits = core((state, prev), None)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            newly = (tok == end_token) & ~finished
+            length = jnp.where(newly, t + 1, length)
+            finished = finished | newly
+            return (state, tok, finished, length, t + 1), (logits, tok)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            out_axes=1, length=max_len)
+        carry0 = ((init_c, init_h),
+                  jnp.full((bs,), self.token_dim, jnp.int32),
+                  jnp.zeros(bs, bool),
+                  jnp.full(bs, max_len, jnp.int32),
+                  jnp.zeros((), jnp.int32))
+        final, (logits, tokens) = scan(self.core, carry0, None)
+        return logits, tokens, final[3]
+
+    def scheduled(self, init_c, init_h, gt_tokens, sampling_prob, rng):
+        """Scheduled-sampling unroll -> logits (bs, L, token_dim)."""
+        bs, L = gt_tokens.shape
+        gt_in = self.core.embed(self._shift_gt(gt_tokens))  # (bs, L, E)
+        step_rngs = jax.random.split(rng, 2 * L).reshape(L, 2)
+
+        def step(core, carry, gt_x, rngs):
+            state, prev_tok, use_prev = carry
+            state, logits = core((state, prev_tok), (gt_x, use_prev))
+            sampled = jax.random.categorical(
+                rngs[0], logits).astype(jnp.int32)
+            do_sample = jax.random.bernoulli(rngs[1], sampling_prob, (bs,))
+            return (state, sampled, do_sample), logits
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(1, 0), out_axes=1)
+        carry0 = ((init_c, init_h),
+                  jnp.zeros(bs, jnp.int32), jnp.zeros(bs, bool))
+        _, logits = scan(self.core, carry0, gt_in, step_rngs)
+        return logits
+
+
+class VectorDecoder(nn.Module):
+    """Perception-vector decoder head (`model_full.py:564-599`): inputs are
+    the (unshifted) target vectors through an FC+BN embedding
+    (`Per_Encoder`, `model_full.py:308-316`); always teacher-forced."""
+    out_dim: int
+    units: int
+    train: bool
+
+    @nn.compact
+    def __call__(self, init_c, init_h, gt_vectors):
+        # gt_vectors: (bs, T, out_dim)
+        x = FC(self.units, self.train, activation="none",
+               name="per_embed")(gt_vectors)
+        cell = nn.OptimizedLSTMCell(self.units)
+        _, outs = _scan_cell(cell, (init_c, init_h), x)
+        return nn.Dense(self.out_dim, use_bias=False,
+                        name="output_projection")(outs)

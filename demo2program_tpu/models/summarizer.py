@@ -1,0 +1,48 @@
+"""Summarizer baseline: two-pass demo encoder + rn-pool summary + program
+decoder (no multi-task heads).
+
+Parity target: `models/baselines/model_summarizer.py` — identical encoder
+topology to the full model but with PURE rn_pool aggregation (no residual
+mean, `model_summarizer.py:345-355`) and only the program decoder.
+"""
+
+import flax.linen as nn
+
+from demo2program_tpu.models.common import ModelConfig, TwoPassDemoEncoder
+from demo2program_tpu.models.decoder import TokenDecoder
+
+
+class SummarizerModel(nn.Module):
+    cfg: ModelConfig
+    train: bool
+
+    @nn.compact
+    def __call__(self, batch, include_greedy=True, sampling_prob=None,
+                 rng=None):
+        cfg = self.cfg
+        enc = TwoPassDemoEncoder(cfg, self.train, rn_aggregation="rn_pure",
+                                 name="encoder")(
+            batch["s_h"], batch["demo_len"].astype("int32"))
+
+        decoder = TokenDecoder(cfg.dim_program_token,
+                               cfg.num_lstm_cell_units,
+                               cfg.program_end_token,
+                               name="program_decoder")
+        gt_tokens = batch["program_tokens"].astype("int32")
+        if sampling_prob is not None and self.train:
+            tf_logits = decoder.scheduled(
+                enc["demo_c_summary"], enc["demo_h_summary"],
+                gt_tokens, sampling_prob, rng)
+        else:
+            tf_logits = decoder.teacher_forced(
+                enc["demo_c_summary"], enc["demo_h_summary"], gt_tokens)
+
+        out = {"pred_program_logits": tf_logits}
+        if include_greedy:
+            g_logits, g_tokens, g_len = decoder.greedy(
+                enc["demo_c_summary"], enc["demo_h_summary"],
+                cfg.max_program_len)
+            out.update(greedy_program_logits=g_logits,
+                       greedy_program_tokens=g_tokens,
+                       greedy_program_len=g_len)
+        return out

@@ -1,0 +1,51 @@
+"""Synthesis baseline: single-pass demo encoder + program decoder.
+
+Parity target: `models/baselines/model_synthesis.py` — per-demo CNN+LSTM
+encoder, concat/avgpool/maxpool aggregation (`:336-358`), LSTM program
+decoder with teacher-forced / scheduled-sampling / greedy unrolls
+(`:385-490`). No summarizer second pass, no action/perception heads.
+"""
+
+import flax.linen as nn
+
+from demo2program_tpu.models.common import (
+    ModelConfig, SinglePassDemoEncoder, aggregate_baseline)
+from demo2program_tpu.models.decoder import TokenDecoder
+
+
+class SynthesisModel(nn.Module):
+    cfg: ModelConfig
+    train: bool
+
+    @nn.compact
+    def __call__(self, batch, include_greedy=True, sampling_prob=None,
+                 rng=None):
+        cfg = self.cfg
+        s_h = batch["s_h"]
+        demo_len = batch["demo_len"].astype("int32")
+
+        _, demo_h, demo_c = SinglePassDemoEncoder(
+            cfg, self.train, name="encoder")(s_h, demo_len)
+        summary_h, summary_c = aggregate_baseline(
+            demo_h, demo_c, cfg.demo_aggregation, cfg.num_lstm_cell_units)
+
+        decoder = TokenDecoder(cfg.dim_program_token,
+                               cfg.num_lstm_cell_units,
+                               cfg.program_end_token,
+                               name="program_decoder")
+        gt_tokens = batch["program_tokens"].astype("int32")
+        if sampling_prob is not None and self.train:
+            tf_logits = decoder.scheduled(
+                summary_c, summary_h, gt_tokens, sampling_prob, rng)
+        else:
+            tf_logits = decoder.teacher_forced(
+                summary_c, summary_h, gt_tokens)
+
+        out = {"pred_program_logits": tf_logits}
+        if include_greedy:
+            g_logits, g_tokens, g_len = decoder.greedy(
+                summary_c, summary_h, cfg.max_program_len)
+            out.update(greedy_program_logits=g_logits,
+                       greedy_program_tokens=g_tokens,
+                       greedy_program_len=g_len)
+        return out
