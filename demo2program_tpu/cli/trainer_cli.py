@@ -1,0 +1,36 @@
+"""Training entry point.
+
+Usage parity with the reference (`trainer.py:243-291`):
+
+  python -m demo2program_tpu.cli.trainer_cli \
+      --model full --dataset_type karel \
+      --dataset_path datasets/karel_dataset --num_k 10
+"""
+
+from demo2program_tpu.cli.flags import base_parser, add_train_flags
+from demo2program_tpu.data.dataset import create_default_splits
+from demo2program_tpu.train.trainer import Trainer
+from demo2program_tpu.utils import log
+
+
+def main(argv=None):
+    parser = add_train_flags(base_parser())
+    args = parser.parse_args(argv)
+
+    if args.dataset_type == "karel":
+        ds_train, ds_test, ds_val = create_default_splits(
+            args.dataset_path, num_k=args.num_k)
+    else:
+        from demo2program_tpu.data.vizdoom_dataset import (
+            create_vizdoom_splits)
+        ds_train, ds_test, ds_val = create_vizdoom_splits(
+            args.dataset_path, num_k=args.num_k)
+
+    trainer = Trainer(args, ds_train, ds_test)
+    log.warning("dataset: %s, learning_rate: %f",
+                args.dataset_path, args.learning_rate)
+    trainer.train(max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

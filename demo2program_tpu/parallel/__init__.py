@@ -1,0 +1,2 @@
+from demo2program_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, replicated_sharding)

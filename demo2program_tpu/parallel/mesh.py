@@ -1,0 +1,52 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-GPU (`trainer.py:134-138` pins
+device_count={'GPU': 1}; no tf.distribute anywhere — SURVEY.md §2.6). The
+TPU-native parallelism is therefore a new design, not a port:
+
+  * one mesh axis 'data': the batch is sharded across all chips; parameters
+    and optimizer state are replicated. jit inserts the psum gradient
+    all-reduce over ICI automatically from the sharding annotations.
+  * the k demos per task are an internal batch axis, folded into the leading
+    dim inside the models (models/encoder.py) — they shard with the batch.
+  * TP/PP/EP are deliberately out of scope: the largest model is ~30M params
+    with sequence lengths <= 50; there is nothing to partition (documented
+    rather than silently missing, SURVEY.md §2.6).
+
+Multi-chip behaviour is validated on a virtual CPU mesh
+(tests + __graft_entry__.dryrun_multichip).
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices=None, axis_name="data"):
+    devices = jax.devices()
+    if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} JAX devices are visible "
+                f"(platform={devices[0].platform}); for CPU testing set "
+                f"JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N")
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh, axis_name="data"):
+    """Leading-axis (batch) sharding for input pytrees."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """device_put a host batch dict with the batch axis sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return {k: (jax.device_put(v, sh) if k != "id" else v)
+            for k, v in batch.items()}

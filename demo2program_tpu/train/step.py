@@ -1,0 +1,126 @@
+"""jit-compiled train / eval steps.
+
+Optimization parity with the reference trainer (`trainer.py:82-109`):
+Adam, gradient clipping by global norm 20 (tf.contrib optimize_loss
+clip_gradients semantics), optional staircase exponential LR decay
+(x0.5 every 10k steps). Scheduled sampling probability decays linearly
+1.0 -> 0.1 over scheduled_sampling_decay_steps (`model_full.py:59-67`);
+the DECODER samples with probability (1 - sample_prob)
+(`model_full.py:418-423`).
+
+The whole step — forward, backward, Adam update — is one jitted program over
+the data-sharded batch; gradients all-reduce over ICI automatically.
+"""
+
+import functools
+from typing import Any
+
+NON_TENSOR_KEYS = ("id",)
+
+
+def strip_non_tensor(batch):
+    """Drop host-only entries (the string id column) before entering jit."""
+    return {k: v for k, v in batch.items() if k not in NON_TENSOR_KEYS}
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from demo2program_tpu.models import objective
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg, learning_rate, lr_weight_decay=False):
+    if lr_weight_decay:
+        schedule = optax.exponential_decay(
+            init_value=learning_rate, transition_steps=10000,
+            decay_rate=0.5, staircase=True)
+    else:
+        schedule = learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(20.0),
+        optax.adam(schedule),
+    )
+
+
+def create_train_state(model, cfg, tx, rng, example_batch):
+    variables = model.init(rng, example_batch, include_greedy=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _sampling_prob(cfg, step):
+    """1 - polynomial_decay(1.0 -> 0.1) of the teacher-forcing prob."""
+    frac = jnp.minimum(
+        step.astype(jnp.float32) / cfg.scheduled_sampling_decay_steps, 1.0)
+    sample_prob = 1.0 + (0.1 - 1.0) * frac
+    return 1.0 - sample_prob
+
+
+def make_train_step(model, cfg, tx, model_name, donate=True):
+    use_ss = cfg.scheduled_sampling
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def _train_step(state, batch, rng):
+        sp = _sampling_prob(cfg, state.step) if use_ss else None
+
+        def loss_fn(params):
+            kwargs = dict(include_greedy=False)
+            if use_ss:
+                kwargs.update(sampling_prob=sp, rng=rng)
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, mutable=["batch_stats"], **kwargs)
+            loss, report = objective.compute_loss(cfg, out, batch,
+                                                  model_name)
+            return loss, (report, updates)
+
+        (loss, (report, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, upd)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=updates["batch_stats"],
+            opt_state=new_opt)
+        report["grad_norm"] = optax.global_norm(grads)
+        return new_state, report
+
+    def train_step(state, batch, rng):
+        return _train_step(state, strip_non_tensor(batch), rng)
+
+    return train_step
+
+
+def make_eval_step(eval_model, cfg, model_name):
+    """Eval forward: loss/acc reports + program tensors for host/VM scoring.
+    Uses running batch-norm statistics (train=False model)."""
+
+    @jax.jit
+    def _eval_step(state, batch):
+        out = eval_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, include_greedy=True)
+        _, report = objective.compute_loss(cfg, out, batch, model_name)
+        report.update(objective.greedy_action_report(cfg, out, batch))
+        evals = objective.program_eval_tensors(cfg, out, batch)
+        return report, evals
+
+    def eval_step(state, batch):
+        return _eval_step(state, strip_non_tensor(batch))
+
+    return eval_step

@@ -1,0 +1,203 @@
+"""Training driver.
+
+Parity target: the reference `trainer.py` — model registry, Adam + clip 20,
+optional exponential LR decay, periodic test inference / summary / checkpoint
+cadence, train-dir naming with the hyperparameter string, warm-start from a
+pretrained checkpoint, and the `sec/batch, instances/sec` log line
+(`trainer.py:227-240`).
+
+TPU-native differences: batches go host->device once (sharded over the data
+mesh axis); the train step is one jitted SPMD program; checkpoints via orbax;
+metrics stream to stdout + metrics.jsonl instead of TensorBoard events.
+"""
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from demo2program_tpu.data import create_default_splits, BatchPipeline
+from demo2program_tpu.data.dataset import KarelDataset
+from demo2program_tpu.dsl.karel_vocab import KarelVocab
+from demo2program_tpu.models import get_model_class
+from demo2program_tpu.models.common import ModelConfig
+from demo2program_tpu.parallel import make_mesh, batch_sharding
+from demo2program_tpu.train.step import (
+    create_train_state, make_eval_step, make_optimizer, make_train_step)
+from demo2program_tpu.utils import log
+
+
+def config_from_dataset(args, dataset):
+    """Infer data dims from the first datum, mirroring
+    `trainer.py:304-335`."""
+    item = dataset.get_data(dataset.ids[0])
+    vocab = KarelVocab()
+    return ModelConfig(
+        model=args.model,
+        dataset_type=args.dataset_type,
+        batch_size=args.batch_size,
+        num_lstm_cell_units=args.num_lstm_cell_units,
+        demo_aggregation=args.demo_aggregation,
+        scheduled_sampling=args.scheduled_sampling,
+        scheduled_sampling_decay_steps=args.scheduled_sampling_decay_steps,
+        dim_program_token=item["program"].shape[0],
+        max_program_len=item["program"].shape[1],
+        k=item["s_h"].shape[0],
+        test_k=item["test_s_h"].shape[0],
+        max_demo_len=item["s_h"].shape[1],
+        h=item["s_h"].shape[2],
+        w=item["s_h"].shape[3],
+        depth=item["s_h"].shape[4],
+        action_space=item["a_h"].shape[2],
+        per_dim=item["per"].shape[2],
+        dsl_type=dataset.dsl_type,
+        env_type=dataset.env_type,
+        program_end_token=vocab.end_token,
+    )
+
+
+class Trainer:
+    def __init__(self, args, dataset_train, dataset_test, cfg=None):
+        self.args = args
+        self.cfg = cfg or config_from_dataset(args, dataset_train)
+        cfg = self.cfg
+
+        hp = "bs_{}_lr_{}_{}_cell_{}".format(
+            args.batch_size, args.learning_rate, args.encoder_rnn_type,
+            args.num_lstm_cell_units)
+        if args.scheduled_sampling:
+            hp += "_sd_{}".format(args.scheduled_sampling_decay_steps)
+        hp += "_k_{}".format(args.num_k)
+        self.train_dir = args.train_dir or "./train_dir/{}-{}-{}-{}-{}".format(
+            args.dataset_type, args.model, args.prefix, hp,
+            time.strftime("%Y%m%d-%H%M%S"))
+        os.makedirs(self.train_dir, exist_ok=True)
+        log.infov("Train Dir: %s", self.train_dir)
+
+        # data-parallel mesh over the largest device count that divides the
+        # batch (all devices in the common case)
+        n_dev = jax.device_count()
+        while args.batch_size % n_dev != 0:
+            n_dev -= 1
+        if n_dev != jax.device_count():
+            log.warn("batch_size %d not divisible by %d devices; using a "
+                     "%d-device mesh", args.batch_size, jax.device_count(),
+                     n_dev)
+        self.mesh = make_mesh(num_devices=n_dev)
+        sharding = batch_sharding(self.mesh)
+        self.pipe_train = BatchPipeline(
+            dataset_train, args.batch_size, shuffle=True,
+            seed=args.seed, sharding=sharding)
+        # test stream shuffles like the reference's shuffle_batch test queue
+        self.pipe_test = _InfiniteEval(dataset_test, args.batch_size,
+                                       args.seed, sharding)
+
+        model_cls = get_model_class(args.model)
+        self.model = model_cls(cfg, train=True)
+        self.eval_model = model_cls(cfg, train=False)
+        self.tx = make_optimizer(cfg, args.learning_rate,
+                                 args.lr_weight_decay)
+        rng = jax.random.key(args.seed)
+        example = next(self.pipe_train)
+        self.state = create_train_state(self.model, cfg, self.tx, rng,
+                                        example)
+        self._first_batch = example
+        self.train_step = make_train_step(self.model, cfg, self.tx,
+                                          args.model)
+        self.eval_step = make_eval_step(self.eval_model, cfg, args.model)
+        self.rng = rng
+
+        self.ckpt_dir = os.path.join(os.path.abspath(self.train_dir), "ckpt")
+        self.ckpt_mgr = ocp.CheckpointManager(
+            self.ckpt_dir,
+            options=ocp.CheckpointManagerOptions(max_to_keep=100))
+        if args.checkpoint:
+            self.restore(args.checkpoint)
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+            self.state.params))
+        log.warn("total trainable parameters: %.2fM", n_params / 1e6)
+        self.metrics_file = open(
+            os.path.join(self.train_dir, "metrics.jsonl"), "a")
+
+    # -- checkpointing --------------------------------------------------------
+    def save(self):
+        step = int(self.state.step)
+        self.ckpt_mgr.save(step, args=ocp.args.StandardSave(self.state))
+        self.ckpt_mgr.wait_until_finished()  # orbax saves are async
+        log.infov("Saved checkpoint at %d", step)
+
+    def restore(self, path):
+        """Warm-start parameters (and batch stats) from a checkpoint dir
+        (mirrors the reference pretrain_saver, `trainer.py:142-147`)."""
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path),
+                                 self.state)
+        self.state = restored
+        log.info("Restored checkpoint from %s (step %d)", path,
+                 int(self.state.step))
+
+    # -- loop ------------------------------------------------------------------
+    def _log_line(self, split, step, report, step_time):
+        step_time = max(step_time, 1e-3)
+        log.info(
+            " [%5s step %6d] Loss: %.5f (%.3f sec/batch, "
+            "%.3f instances/sec)", split, step,
+            float(report["loss"]), step_time,
+            self.args.batch_size / step_time)
+
+    def _write_metrics(self, split, step, report):
+        rec = {"split": split, "step": int(step), "time": time.time()}
+        for k, v in report.items():
+            v = np.asarray(v)
+            if v.ndim == 0:
+                rec[k] = float(v)
+        self.metrics_file.write(json.dumps(rec) + "\n")
+        self.metrics_file.flush()
+
+    def train(self, max_steps=1_000_000):
+        args = self.args
+        log.infov("Training Starts!")
+        for s in range(max_steps):
+            t0 = time.time()
+            batch = next(self.pipe_train)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, report = self.train_step(self.state, batch, step_rng)
+            if s % args.log_step == 0:
+                report = jax.device_get(report)
+                self._log_line("train", int(self.state.step), report,
+                               time.time() - t0)
+                self._write_metrics("train", self.state.step, report)
+            if s % args.test_sample_step == 0:
+                t1 = time.time()
+                test_batch = next(self.pipe_test)
+                test_report, _ = self.eval_step(self.state, test_batch)
+                test_report = jax.device_get(test_report)
+                self._log_line("val", int(self.state.step), test_report,
+                               time.time() - t1)
+                self._write_metrics("val", self.state.step, test_report)
+            if s % args.ckpt_save_step == 0:
+                self.save()
+        self.save()
+
+
+class _InfiniteEval:
+    """Endless shuffled eval batches (the reference's test queue also
+    shuffles, `input_ops_karel.py` via shuffle_batch)."""
+
+    def __init__(self, dataset, batch_size, seed, sharding):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.sharding = sharding
+        self._pipe = None
+
+    def __next__(self):
+        if self._pipe is None:
+            self._pipe = BatchPipeline(
+                self.dataset, self.batch_size, shuffle=True,
+                seed=self.seed, sharding=self.sharding, prefetch=1)
+        return next(self._pipe)

@@ -9,7 +9,10 @@ Must run before jax initializes its backends, hence env vars set at import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (the ambient environment pins JAX_PLATFORMS=axon — a real TPU —
+# which would both hog the chip and silently shrink the virtual 8-device mesh
+# to 1 device)
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,3 +24,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_d2p_tests"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The ambient axon sitecustomize force-registers the TPU backend and
+# overrides JAX_PLATFORMS, so the env var alone is not enough — pin the
+# platform through the config API (this is what actually wins).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() >= 8, (
+    "tests require the 8-device virtual CPU mesh; got "
+    f"{jax.devices()}")

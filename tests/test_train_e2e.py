@@ -1,0 +1,107 @@
+"""End-to-end: tiny dataset -> trainer steps -> eval + scorer; plus the
+multi-device dryrun on the virtual 8-CPU mesh."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.test_data import tiny_dataset_dir  # session fixture  # noqa: F401
+
+
+def _args(dataset_dir, tmp_path, **kw):
+    ns = types.SimpleNamespace(
+        debug=False, prefix="test", model=kw.get("model",
+                                                 "synthesis_baseline"),
+        dataset_type="karel", dataset_path=dataset_dir,
+        checkpoint=None, num_k=3, batch_size=4, seed=0,
+        encoder_rnn_type="lstm", num_lstm_cell_units=32,
+        demo_aggregation="avgpool", scheduled_sampling=False,
+        scheduled_sampling_decay_steps=20000,
+        train_dir=str(tmp_path / "train_dir"),
+        learning_rate=1e-3, lr_weight_decay=False,
+        log_step=2, write_summary_step=100, test_sample_step=4,
+        ckpt_save_step=1000, max_steps=6)
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+@pytest.mark.parametrize("model", ["synthesis_baseline", "full"])
+def test_trainer_e2e(tiny_dataset_dir, tmp_path, model):  # noqa: F811
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+    from demo2program_tpu.eval.scorer import KarelScorer
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    args = _args(tiny_dataset_dir, tmp_path / model, model=model)
+    trainer = Trainer(args, ds_train, ds_test)
+    trainer.train(max_steps=3)
+    assert int(trainer.state.step) == 3
+
+    # eval a batch + host/VM scoring
+    batch = next(trainer.pipe_test)
+    report, evals = trainer.eval_step(trainer.state, batch)
+    assert np.isfinite(float(report["loss"]))
+    scorer = KarelScorer(trainer.cfg)
+    scores = scorer.score_batch(batch, evals)
+    assert 0.0 <= scores["greedy_program_syntax_acc"] <= 1.0
+    assert scores["greedy_program_execution_acc_hist"].shape == (4,)
+    assert abs(scores["greedy_program_execution_acc_hist"].sum() - 1.0) < 1e-5
+    # TF-path predictions truncated at gt length are scored too
+    assert "program_syntax_acc" in scores
+
+    # checkpoint round trip
+    trainer.save()
+    step_before = int(trainer.state.step)
+    ckpt_path = f"{trainer.ckpt_dir}/{step_before}/default"
+    trainer.restore(ckpt_path)
+    assert int(trainer.state.step) == step_before
+
+
+def test_ground_truth_programs_score_perfectly(tiny_dataset_dir):  # noqa: F811
+    """Feed the GROUND-TRUTH programs through the scorer: syntax, canonical
+    and execution accuracy must all be exactly 1 (oracle sanity)."""
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.eval.scorer import KarelScorer
+    from demo2program_tpu.models.common import ModelConfig
+    from demo2program_tpu.data import BatchPipeline
+
+    ds_train, _, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    batch = next(BatchPipeline(ds_train, 6, shuffle=False))
+    cfg = ModelConfig(
+        model="synthesis_baseline", k=3, test_k=3,
+        max_demo_len=ds_train.max_demo_len,
+        max_program_len=ds_train.max_program_len)
+    scorer = KarelScorer(cfg)
+    gt_tokens = batch["program_tokens"]
+    gt_len = batch["program_len"][:, 0]
+    same = np.ones(6, np.float32)  # exact match by construction
+    syntax, exact = scorer.syntax_and_exact(
+        gt_tokens, gt_len, same, gt_tokens, gt_len)
+    assert syntax.mean() == 1.0 and exact.mean() == 1.0
+
+    # execution against both seen and unseen demos, NOT short-circuited by
+    # the same-seq flag (same=0 forces real VM replay)
+    nc, _ = scorer.execution(gt_tokens, gt_len, np.zeros(6, np.float32),
+                             batch["s_h"], batch["demo_len"])
+    assert (nc == 3).all(), nc
+    tnc, _ = scorer.execution(gt_tokens, gt_len, np.zeros(6, np.float32),
+                              batch["test_s_h"], batch["test_demo_len"])
+    assert (tnc == 3).all(), tnc
+
+
+def test_dryrun_multichip():
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import jax
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+    fn, args = entry()
+    loss, tokens = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
