@@ -1,0 +1,60 @@
+"""Evaluation entry point.
+
+Flag parity with the reference `evaler.py:362-425` (the `--unseen_test` flag
+is parsed-but-unused there — SURVEY.md §6 quirk (e) — and kept that way).
+"""
+
+from demo2program_tpu.cli.flags import base_parser
+from demo2program_tpu.data.dataset import create_default_splits
+from demo2program_tpu.eval.evaler import Evaler
+from demo2program_tpu.utils import log
+
+
+def main(argv=None):
+    p = base_parser()
+    p.set_defaults(batch_size=20)
+    p.add_argument("--dataset_split", type=str, default="test",
+                   choices=["train", "test", "val"])
+    p.add_argument("--train_dir", type=str, default="",
+                   help="evaluate the newest checkpoint in this train_dir")
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="number of batches; 0 = the whole split")
+    p.add_argument("--no_loss", action="store_true", default=False)
+    p.add_argument("--pred_program", action="store_true", default=False)
+    p.add_argument("--result_data", action="store_true", default=False)
+    p.add_argument("--result_data_path", type=str, default="result.hdf5")
+    p.add_argument("--id_list", type=str, default=None)
+    p.add_argument("--unseen_test", action="store_true", default=False)
+    p.add_argument("--quiet", action="store_true", default=False)
+    p.add_argument("--no_write_summary", action="store_true", default=False)
+    p.add_argument("--summary_file", type=str, default=None)
+    args = p.parse_args(argv)
+    args.write_summary = not args.no_write_summary
+    if args.output_dir is None:
+        args.output_dir = args.train_dir or "."
+
+    if args.dataset_type == "karel":
+        splits = create_default_splits(args.dataset_path, num_k=args.num_k,
+                                       is_train=False)
+    else:
+        from demo2program_tpu.data.vizdoom_dataset import (
+            create_vizdoom_splits)
+        splits = create_vizdoom_splits(args.dataset_path, num_k=args.num_k,
+                                       is_train=False)
+    target = dict(zip(["train", "test", "val"], splits))[args.dataset_split]
+    if args.id_list:
+        with open(args.id_list) as f:
+            wanted = [line.strip() for line in f if line.strip()]
+        target._ids = wanted
+
+    if not args.max_steps > 0:
+        args.max_steps = len(target.ids) // args.batch_size
+
+    evaler = Evaler(args, target)
+    log.warning("dataset: %s", args.dataset_path)
+    evaler.eval_run()
+
+
+if __name__ == "__main__":
+    main()

@@ -128,12 +128,15 @@ class KarelScorer:
             same = np.asarray(evals[same_key])
             syntax, exact = self.syntax_and_exact(
                 tokens, lens, same, gt_tokens, gt_len)
+            res[f"{name}is_correct_syntax"] = syntax
+            res[f"{name}exact_program_correct"] = exact
             res[f"{name}program_syntax_acc"] = float(syntax.mean())
             res[f"{name}exact_program_acc"] = float(exact.mean())
 
-            nc, _ = self.execution(tokens, lens, same,
-                                   np.asarray(batch["s_h"]),
-                                   np.asarray(batch["demo_len"]))
+            nc, per_demo = self.execution(tokens, lens, same,
+                                          np.asarray(batch["s_h"]),
+                                          np.asarray(batch["demo_len"]))
+            res[f"{name}program_is_correct_execution"] = per_demo
             res[f"{name}program_num_execution_correct"] = nc
             res[f"{name}program_execution_acc_hist"] = \
                 self.execution_histogram(nc, self.cfg.k)

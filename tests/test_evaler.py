@@ -1,0 +1,74 @@
+"""Evaler end-to-end: train briefly, evaluate via the CLI path, check
+artifacts."""
+
+import os
+import types
+
+import h5py
+import numpy as np
+
+from tests.test_data import tiny_dataset_dir  # noqa: F401
+
+
+def test_evaler_end_to_end(tiny_dataset_dir, tmp_path):  # noqa: F811
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+    from demo2program_tpu.eval.evaler import Evaler
+    from tests.test_train_e2e import _args
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    targs = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline",
+                  batch_size=4)
+    trainer = Trainer(targs, ds_train, ds_test)
+    trainer.train(max_steps=2)
+    trainer.save()
+    step = int(trainer.state.step)
+    ckpt = os.path.join(trainer.ckpt_dir, str(step), "default")
+
+    eargs = types.SimpleNamespace(
+        debug=False, prefix="e", model="synthesis_baseline",
+        dataset_type="karel", dataset_path=tiny_dataset_dir,
+        checkpoint=ckpt, num_k=3, batch_size=4, seed=0,
+        encoder_rnn_type="lstm", num_lstm_cell_units=32,
+        demo_aggregation="avgpool", scheduled_sampling=False,
+        scheduled_sampling_decay_steps=20000,
+        dataset_split="test", train_dir="", output_dir=str(tmp_path / "out"),
+        max_steps=1, no_loss=False, pred_program=True,
+        result_data=True, result_data_path=str(tmp_path / "result.hdf5"),
+        id_list=None, unseen_test=False, quiet=False,
+        no_write_summary=False, write_summary=True,
+        summary_file=str(tmp_path / "report.txt"))
+
+    evaler = Evaler(eargs, ds_test)
+    loss_avg, acc_avg, hist_avg = evaler.eval_run()
+
+    # reference metric names present
+    for key in ["program_token_acc", "program_seq_acc", "program_syntax_acc",
+                "pred_exact_program_accuracy",
+                "greedy_exact_program_accuracy",
+                "greedy_program_syntax_acc"]:
+        assert key in acc_avg, key
+    assert "program_loss" in loss_avg and "greedy_program_loss" in loss_avg
+    for key in ["program_execution_acc_hist",
+                "greedy_program_execution_acc_hist",
+                "test_program_execution_acc_hist",
+                "test_greedy_program_execution_acc_hist"]:
+        assert key in hist_avg, key
+        assert abs(hist_avg[key].sum() - 1.0) < 1e-4
+
+    # artifacts
+    assert os.path.exists(tmp_path / "report.txt")
+    base = tmp_path / "out" / f"out_{evaler.checkpoint_name}_test"
+    assert os.path.exists(f"{base}.txt")
+    with open(f"{base}.txt") as f:
+        body = f.read()
+    assert "gt: DEF run m(" in body and "greedy" in body
+    with h5py.File(f"{base}.hdf5", "r") as f:
+        pid = list(f.keys())[0]
+        assert "program_prediction" in f[pid]
+        assert f[pid]["program_syntax"][()] in (b"wrong", b"correct")
+        assert "greedy_num_execution_correct" in f[pid]
+    with h5py.File(tmp_path / "result.hdf5", "r") as f:
+        pid = list(f.keys())[0]
+        assert f[pid]["s_h"].shape[-1] == 16
+        assert "pred_program" in f[pid]
