@@ -120,7 +120,7 @@ class Evaler:
             report = {k: np.asarray(v) for k, v in
                       jax.device_get(report).items()}
             evals = jax.device_get(evals)
-            scores = self.scorer.score_batch(batch, evals)
+            scores = self.scorer.score_batch(batch, evals) if evals else {}
             step_time = time.time() - t0
             t_total += step_time
 
@@ -133,11 +133,11 @@ class Evaler:
             for k, v in hist_d.items():
                 hist_sums[k] = hist_sums.get(k, np.zeros_like(v)) + v
 
-            if args.pred_program:
+            if args.pred_program and evals:
                 log_file.write(msg + "\n")
                 self._write_artifacts(batch, evals, scores,
                                       text_file, hdf5_file)
-            if args.result_data:
+            if args.result_data and evals:
                 self._write_result_data(batch, evals, result_file, data_file)
 
         loss_avg = {k: v / max_steps for k, v in sums.items()
@@ -172,6 +172,12 @@ class Evaler:
         metric names."""
         loss_d = {k: float(v) for k, v in report.items()
                   if k.endswith("loss")}
+        if not evals:
+            # induction baseline: action metrics only, dummy program fetches
+            # (`model_induction.py:866-875`)
+            acc_d = {k: float(v) for k, v in report.items()
+                     if k.endswith("acc")}
+            return loss_d, acc_d, {}
         acc_d = {
             "program_token_acc": float(report["program_token_acc"]),
             "program_seq_acc": float(report["program_seq_acc"]),

@@ -44,6 +44,22 @@ def compute_loss(cfg, outputs, batch, model_name):
     report_loss/report_accuracy scalar names (`model_full.py:1099-1132`).
     """
     report = {}
+    if model_name == "induction_baseline":
+        # no program decoding: the objective is the TEST-demo action CE,
+        # averaged over test_k; `seq_all_acc` = all test sequences match
+        # (`model_induction.py:788-819`)
+        test_len = batch["test_demo_len"].astype(jnp.int32)
+        act = _per_k_stats(outputs["pred_action_logits"],
+                           batch["test_a_h"], test_len, "action")
+        loss = act["loss"].mean()
+        report["avg_action_loss"] = loss
+        report["avg_action_token_acc"] = act["token_acc"].mean()
+        report["avg_action_seq_acc"] = act["seq_acc"].mean()
+        report["avg_action_seq_all_acc"] = jnp.all(
+            act["is_same_seq"] > 0.5, axis=0).astype(jnp.float32).mean()
+        report["loss"] = loss
+        return loss, report
+
     prog = _program_stat(cfg, outputs["pred_program_logits"], batch)
     loss = prog["loss"]
     report["program_loss"] = prog["loss"]
@@ -74,6 +90,8 @@ def program_eval_tensors(cfg, outputs, batch):
     """Per-example tensors needed by the host/VM scorers, for both the
     teacher-forced and greedy programs. Mirrors the fetch set of
     `evaler.py:258-280`."""
+    if "pred_program_logits" not in outputs:  # induction baseline
+        return {}
     prog = _program_stat(cfg, outputs["pred_program_logits"], batch)
     plen = batch["program_len"][:, 0].astype(jnp.int32)
     res = {
@@ -102,19 +120,29 @@ def program_eval_tensors(cfg, outputs, batch):
     return res
 
 
-def greedy_action_report(cfg, outputs, batch):
-    """greedy_avg_action_* scalars (`model_full.py:1040-1059`)."""
+def greedy_action_report(cfg, outputs, batch, model_name="full"):
+    """greedy_avg_action_* scalars (`model_full.py:1040-1059`;
+    induction scores against the TEST demos and adds seq_all_acc,
+    `model_induction.py:822-846`)."""
     if "greedy_action_logits" not in outputs:
         return {}
-    demo_len = batch["demo_len"].astype(jnp.int32)
+    if model_name == "induction_baseline":
+        gt, lens = batch["test_a_h"], batch["test_demo_len"]
+    else:
+        gt, lens = batch["a_h"], batch["demo_len"]
+    lens = lens.astype(jnp.int32)
 
-    def one_k(lg, gt, gl, pl):
-        return sequence_metrics(lg, gt, gl, pl, "action")
+    def one_k(lg, g, gl, pl):
+        return sequence_metrics(lg, g, gl, pl, "action")
     stats = jax.vmap(one_k, in_axes=(1, 1, 1, 1))(
-        outputs["greedy_action_logits"], batch["a_h"], demo_len,
+        outputs["greedy_action_logits"], gt, lens,
         outputs["greedy_action_len"])
-    return {
+    rep = {
         "greedy_avg_action_loss": stats["loss"].mean(),
         "greedy_avg_action_token_acc": stats["token_acc"].mean(),
         "greedy_avg_action_seq_acc": stats["seq_acc"].mean(),
     }
+    if model_name == "induction_baseline":
+        rep["greedy_avg_action_seq_all_acc"] = jnp.all(
+            stats["is_same_seq"] > 0.5, axis=0).astype(jnp.float32).mean()
+    return rep

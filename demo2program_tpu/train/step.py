@@ -116,7 +116,8 @@ def make_eval_step(eval_model, cfg, model_name):
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, include_greedy=True)
         _, report = objective.compute_loss(cfg, out, batch, model_name)
-        report.update(objective.greedy_action_report(cfg, out, batch))
+        report.update(objective.greedy_action_report(cfg, out, batch,
+                                                     model_name))
         evals = objective.program_eval_tensors(cfg, out, batch)
         return report, evals
 
