@@ -29,6 +29,7 @@ import orbax.checkpoint as ocp
 
 from demo2program_tpu.data import BatchPipeline
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
+from demo2program_tpu.dsl.vizdoom_vocab import VizDoomDSLVocab
 from demo2program_tpu.eval.scorer import KarelScorer
 from demo2program_tpu.models import get_model_class
 from demo2program_tpu.train.step import make_eval_step, strip_non_tensor
@@ -77,7 +78,14 @@ class Evaler:
                                  batch_stats=self.batch_stats,
                                  opt_state=None)
         self.eval_step = make_eval_step(self.model, self.cfg, args.model)
-        self.scorer = KarelScorer(self.cfg, self.vocab)
+        if args.dataset_type == "vizdoom":
+            from demo2program_tpu.eval.vizdoom_scorer import VizdoomScorer
+            self.vocab = VizDoomDSLVocab(
+                perception_type=self.cfg.perception_type,
+                level=self.cfg.level or "not_simple")
+            self.scorer = VizdoomScorer(self.cfg, self.vocab)
+        else:
+            self.scorer = KarelScorer(self.cfg, self.vocab)
         self.summary_file = self.checkpoint + \
             "_report_testdata{}_num_k{}.txt".format(
                 args.max_steps * args.batch_size, args.num_k)

@@ -36,6 +36,11 @@ class ModelConfig:
     # domain metadata
     dsl_type: str = "prob"
     env_type: Optional[str] = None
+    # vizdoom-specific metadata (empty/None for karel, `trainer.py:322-335`)
+    vizdoom_pos_keys: tuple = ()
+    vizdoom_max_init_pos_len: int = -1
+    perception_type: str = ""
+    level: Optional[str] = None
     # program end token id ('m)' for karel, domain vocab supplies otherwise)
     program_end_token: int = 3
     # induction-baseline flags the reference reads but never defines

@@ -34,6 +34,37 @@ def config_from_dataset(args, dataset):
     """Infer data dims from the first datum, mirroring
     `trainer.py:304-335`."""
     item = dataset.get_data(dataset.ids[0])
+    if args.dataset_type == "vizdoom":
+        from demo2program_tpu.dsl.vizdoom_vocab import VizDoomDSLVocab
+        vocab = VizDoomDSLVocab(perception_type=dataset.perception_type,
+                                level=dataset.level)
+        return ModelConfig(
+            model=args.model,
+            dataset_type="vizdoom",
+            batch_size=args.batch_size,
+            num_lstm_cell_units=args.num_lstm_cell_units,
+            demo_aggregation=args.demo_aggregation,
+            scheduled_sampling=args.scheduled_sampling,
+            scheduled_sampling_decay_steps=(
+                args.scheduled_sampling_decay_steps),
+            dim_program_token=item["program"].shape[0],
+            max_program_len=item["program"].shape[1],
+            k=item["s_h"].shape[0],
+            test_k=item["test_s_h"].shape[0],
+            max_demo_len=item["s_h"].shape[1],
+            h=item["s_h"].shape[2],
+            w=item["s_h"].shape[3],
+            depth=item["s_h"].shape[4],
+            action_space=item["a_h"].shape[2],
+            per_dim=item["per"].shape[2],
+            dsl_type="vizdoom_default",
+            env_type="vizdoom_default",
+            vizdoom_pos_keys=tuple(dataset.vizdoom_pos_keys),
+            vizdoom_max_init_pos_len=dataset.vizdoom_max_init_pos_len,
+            perception_type=dataset.perception_type,
+            level=dataset.level,
+            program_end_token=vocab.end_token,
+        )
     vocab = KarelVocab()
     return ModelConfig(
         model=args.model,
