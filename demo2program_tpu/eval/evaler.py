@@ -77,7 +77,9 @@ class Evaler:
                                  params=self.params,
                                  batch_stats=self.batch_stats,
                                  opt_state=None)
-        self.eval_step = make_eval_step(self.model, self.cfg, args.model)
+        self.eval_step = make_eval_step(
+            self.model, self.cfg, args.model,
+            decode_mode=getattr(args, "unroll_type", "greedy"))
         if args.dataset_type == "vizdoom":
             from demo2program_tpu.eval.vizdoom_scorer import VizdoomScorer
             self.vocab = VizDoomDSLVocab(

@@ -140,6 +140,99 @@ class TokenDecoder(nn.Module):
         final, (logits, tokens) = scan(self.core, carry0, None)
         return logits, tokens, final[3]
 
+    def greedy_constrained(self, init_c, init_h, max_len, syntax,
+                           sample_rng=None):
+        """Syntax-constrained decoding with the pushdown tables from
+        dsl/karel_syntax.py running entirely on-device — the TPU-native
+        replacement for the reference's per-step tf.py_func mask server
+        (`models/seq2seq_helper.py:228-277`).
+
+        With sample_rng=None this is syntax_greedy (masked argmax); with an
+        rng it is syntax_sample (masked softmax sampling). Reference quirks
+        kept: once finished, only the end token remains legal; if every
+        candidate is masked out (budget impossibility), token 0 is emitted
+        (the reference argmaxes an all-zero masked distribution).
+        """
+        import jax
+
+        from demo2program_tpu.dsl.karel_syntax import (
+            POP, STACK_DEPTH, SYMBOL_MIN, initial_stack)
+
+        bs = init_c.shape[0]
+        end_token = self.end_token
+        V = self.token_dim
+        init = initial_stack()
+        stack0 = jnp.zeros((bs, STACK_DEPTH), jnp.int32)
+        stack0 = stack0.at[:, :len(init)].set(
+            jnp.asarray(init, jnp.int32)[None, :])
+        sp0 = jnp.full((bs,), len(init), jnp.int32)
+        msum0 = jnp.full((bs,), int(sum(SYMBOL_MIN[s] for s in init)),
+                         jnp.int32)
+        bidx = jnp.arange(bs)
+        step_rngs = (jax.random.split(sample_rng, max_len)
+                     if sample_rng is not None else None)
+
+        def step(core, carry, rng_t):
+            state, prev, finished, length, t, stack, sp, msum = carry
+            state, logits = core((state, prev), None)
+
+            top = stack[bidx, jnp.clip(sp - 1, 0, STACK_DEPTH - 1)]
+            empty = sp <= 0
+            legal = syntax["legal"][top]                      # (bs, V)
+            budget_ok = (t + 1 + msum[:, None]
+                         + syntax["delta"][top]) <= max_len
+            mask = legal & budget_ok & ~empty[:, None]
+            # finished elements: only the end token (seq2seq_helper.py:248)
+            end_only = jax.nn.one_hot(
+                jnp.full((bs,), end_token), V, dtype=bool)
+            mask = jnp.where(finished[:, None], end_only, mask)
+
+            masked = jnp.where(mask, logits, -1e9)
+            if rng_t is None:
+                tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            else:
+                tok = jax.random.categorical(rng_t, masked).astype(jnp.int32)
+            # all-masked fallback -> token 0, the reference's zero-argmax
+            tok = jnp.where(mask.any(axis=-1), tok, 0)
+
+            # stack transition (no-op when the consumed token is illegal)
+            do = legal[bidx, tok] & ~empty & ~finished
+            repl = syntax["repl"][top, tok]
+            plen = syntax["push_len"][top, tok]
+            msum = msum + jnp.where(do, syntax["delta"][top, tok], 0)
+            # replace or pop the top
+            top_pos = jnp.clip(sp - 1, 0, STACK_DEPTH - 1)
+            stack = stack.at[bidx, top_pos].set(
+                jnp.where(do & (repl != POP), repl, stack[bidx, top_pos]))
+            base = jnp.where(repl == POP, sp - 1, sp)
+            for j in range(syntax["push_seq"].shape[-1]):
+                pos = jnp.clip(base + j, 0, STACK_DEPTH - 1)
+                val = syntax["push_seq"][top, tok, j]
+                write = do & (j < plen)
+                stack = stack.at[bidx, pos].set(
+                    jnp.where(write, val, stack[bidx, pos]))
+            sp = jnp.where(do, base + plen, sp)
+
+            newly = (tok == end_token) & ~finished
+            length = jnp.where(newly, t + 1, length)
+            finished = finished | newly
+            return (state, tok, finished, length, t + 1, stack, sp, msum), \
+                (logits, tok)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=1, length=max_len)
+        carry0 = ((init_c, init_h),
+                  jnp.full((bs,), self.token_dim, jnp.int32),
+                  jnp.zeros(bs, bool),
+                  jnp.full(bs, max_len, jnp.int32),
+                  jnp.zeros((), jnp.int32),
+                  stack0, sp0, msum0)
+        final, (logits, tokens) = scan(self.core, carry0, step_rngs)
+        return logits, tokens, final[3]
+
     def scheduled(self, init_c, init_h, gt_tokens, sampling_prob, rng):
         """Scheduled-sampling unroll -> logits (bs, L, token_dim)."""
         bs, L = gt_tokens.shape

@@ -26,7 +26,7 @@ class FullModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch, include_greedy=True, sampling_prob=None,
-                 rng=None):
+                 rng=None, decode_mode="greedy"):
         cfg = self.cfg
         bs = batch["s_h"].shape[0]
         k = cfg.k
@@ -70,9 +70,10 @@ class FullModel(nn.Module):
         out["greedy_per_logits"] = out["pred_per_logits"]  # teacher-forced
 
         if include_greedy:
-            g_logits, g_tokens, g_len = program_decoder.greedy(
-                enc["demo_c_summary"], enc["demo_h_summary"],
-                cfg.max_program_len)
+            from demo2program_tpu.models.synthesis import _decode_program
+            g_logits, g_tokens, g_len = _decode_program(
+                program_decoder, enc["demo_c_summary"],
+                enc["demo_h_summary"], cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
                        greedy_program_len=g_len)

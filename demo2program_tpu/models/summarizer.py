@@ -18,7 +18,7 @@ class SummarizerModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch, include_greedy=True, sampling_prob=None,
-                 rng=None):
+                 rng=None, decode_mode="greedy"):
         cfg = self.cfg
         enc = TwoPassDemoEncoder(cfg, self.train, rn_aggregation="rn_pure",
                                  name="encoder")(
@@ -39,9 +39,10 @@ class SummarizerModel(nn.Module):
 
         out = {"pred_program_logits": tf_logits}
         if include_greedy:
-            g_logits, g_tokens, g_len = decoder.greedy(
-                enc["demo_c_summary"], enc["demo_h_summary"],
-                cfg.max_program_len)
+            from demo2program_tpu.models.synthesis import _decode_program
+            g_logits, g_tokens, g_len = _decode_program(
+                decoder, enc["demo_c_summary"], enc["demo_h_summary"],
+                cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
                        greedy_program_len=g_len)

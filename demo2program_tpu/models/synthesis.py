@@ -19,7 +19,7 @@ class SynthesisModel(nn.Module):
 
     @nn.compact
     def __call__(self, batch, include_greedy=True, sampling_prob=None,
-                 rng=None):
+                 rng=None, decode_mode="greedy"):
         cfg = self.cfg
         s_h = batch["s_h"]
         demo_len = batch["demo_len"].astype("int32")
@@ -43,9 +43,27 @@ class SynthesisModel(nn.Module):
 
         out = {"pred_program_logits": tf_logits}
         if include_greedy:
-            g_logits, g_tokens, g_len = decoder.greedy(
-                summary_c, summary_h, cfg.max_program_len)
+            g_logits, g_tokens, g_len = _decode_program(
+                decoder, summary_c, summary_h, cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
                        greedy_program_len=g_len)
         return out
+
+
+def _decode_program(decoder, init_c, init_h, cfg, decode_mode, rng):
+    """greedy | syntax_greedy | syntax_sample program decoding
+    (`model_synthesis.py:384-397` exposes the syntax-constrained unrolls;
+    they are karel-only there too)."""
+    if decode_mode == "greedy":
+        return decoder.greedy(init_c, init_h, cfg.max_program_len)
+    if decode_mode in ("syntax_greedy", "syntax_sample"):
+        if cfg.dataset_type != "karel":
+            raise NotImplementedError(
+                "syntax-constrained decoding is defined for the karel DSL "
+                "(matching the reference's karel-only dsl_syntax)")
+        from demo2program_tpu.dsl.karel_syntax import jnp_tables
+        return decoder.greedy_constrained(
+            init_c, init_h, cfg.max_program_len, jnp_tables(),
+            sample_rng=rng if decode_mode == "syntax_sample" else None)
+    raise ValueError(f"unknown decode_mode {decode_mode!r}")

@@ -106,15 +106,22 @@ def make_train_step(model, cfg, tx, model_name, donate=True):
     return train_step
 
 
-def make_eval_step(eval_model, cfg, model_name):
+def make_eval_step(eval_model, cfg, model_name, decode_mode="greedy",
+                   decode_seed=123):
     """Eval forward: loss/acc reports + program tensors for host/VM scoring.
-    Uses running batch-norm statistics (train=False model)."""
+    Uses running batch-norm statistics (train=False model). decode_mode
+    selects greedy / syntax_greedy / syntax_sample program unrolling."""
+    kwargs = {}
+    if decode_mode != "greedy":
+        kwargs["decode_mode"] = decode_mode
+        if decode_mode == "syntax_sample":
+            kwargs["rng"] = jax.random.key(decode_seed)
 
     @jax.jit
     def _eval_step(state, batch):
         out = eval_model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch, include_greedy=True)
+            batch, include_greedy=True, **kwargs)
         _, report = objective.compute_loss(cfg, out, batch, model_name)
         report.update(objective.greedy_action_report(cfg, out, batch,
                                                      model_name))
