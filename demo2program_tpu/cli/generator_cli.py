@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--num_test_demo_per_program", type=int, default=5)
     p.add_argument("--max_demo_generation_trial", type=int, default=100)
     p.add_argument("--datasets_root", type=str, default="datasets")
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "native", "python"],
+                   help="demo rollout executor; 'native' is the C++ batch "
+                        "engine (both produce identical datasets)")
     args = p.parse_args(argv)
 
     dir_name = os.path.join(args.datasets_root, args.dir_name)
@@ -47,7 +51,7 @@ def main(argv=None):
         num_demo_per_program=args.num_demo_per_program,
         num_test_demo_per_program=args.num_test_demo_per_program,
         max_demo_generation_trial=args.max_demo_generation_trial)
-    generate(cfg)
+    generate(cfg, backend=args.backend)
 
 
 if __name__ == "__main__":

@@ -69,24 +69,98 @@ class GeneratorConfig:
     max_test_demo_generation_trial: int = 10000
 
 
-def _roll_demos(ast, sgen, cfg, num_needed, max_trials):
+_TRIAL_CHUNK = 64
+
+# facing deltas for trace-side perception reconstruction (karel.py:66-91)
+_DELTAS = {
+    "front": np.array([[-1, 0], [0, 1], [1, 0], [0, -1]]),
+    "left": np.array([[0, -1], [-1, 0], [0, 1], [1, 0]]),
+    "right": np.array([[0, 1], [1, 0], [0, -1], [-1, 0]]),
+}
+
+
+def _clear(wall, y, x, d, which, h, w):
+    dy, dx = _DELTAS[which][d]
+    ny, nx = y + dy, x + dx
+    if ny < 0 or ny >= h or nx < 0 or nx >= w:
+        return False
+    return not wall[ny, nx]
+
+
+def _trace_to_arrays(wall, agent, markers, length, h, w):
+    """Native-engine trace -> (s_h (L,h,w,16) bool, per (L,5) bool)."""
+    L = int(length)
+    s = np.zeros((L, h, w, 16), bool)
+    s[:, :, :, 4] = wall
+    s[:, :, :, 5:] = np.eye(11, dtype=bool)[markers[:L]]
+    per = np.zeros((L, 5), bool)
+    for t in range(L):
+        y, x, d = agent[t]
+        s[t, y, x, d] = True
+        mk = markers[t, y, x] > 0
+        per[t] = [_clear(wall, y, x, d, "front", h, w),
+                  _clear(wall, y, x, d, "left", h, w),
+                  _clear(wall, y, x, d, "right", h, w),
+                  mk, not mk]
+    return s, per
+
+
+def _roll_demos(ast, sgen, cfg, num_needed, max_trials, bytecode=None,
+                use_native=False):
     """Sample initial states and execute `ast`, keeping demos whose state
-    history length lies in [min_demo_length, max_demo_length]."""
+    history length lies in [min_demo_length, max_demo_length].
+
+    States are sampled in fixed chunks so the accepted-demo set is identical
+    for the python and native backends (both consume the same rng stream)."""
     s_h_list, a_h_list, per_list = [], [], []
     trials = 0
+    h, w = cfg.height, cfg.width
     while len(s_h_list) < num_needed and trials < max_trials:
-        trials += 1
-        s0, *_ = sgen.generate_single_state(
-            cfg.height, cfg.width, cfg.wall_prob)
-        world = KarelWorld(s0, make_error=True)
-        n, success = karel_interp.execute(ast, world)
-        if not success:
-            continue
-        if not (cfg.min_demo_length <= len(world.s_h) <= cfg.max_demo_length):
-            continue
-        s_h_list.append(np.stack(world.s_h, axis=0))
-        a_h_list.append(np.array(world.a_h, dtype=np.int8))
-        per_list.append(np.stack(world.p_v_h, axis=0))
+        chunk = min(_TRIAL_CHUNK, max_trials - trials)
+        trials += chunk
+        states = [sgen.generate_single_state(h, w, cfg.wall_prob)[0]
+                  for _ in range(chunk)]
+        if use_native:
+            from demo2program_tpu import native
+            walls = np.stack([s[:, :, 4] for s in states])
+            markers0 = np.stack(
+                [np.argmax(s[:, :, 5:], axis=-1).astype(np.int8)
+                 for s in states])
+            agent0 = np.zeros((chunk, 3), np.int32)
+            for i, s in enumerate(states):
+                ys, xs, ds = np.where(s[:, :, :4])
+                agent0[i] = (ys[0], xs[0], ds[0])
+            out = native.run_batch(
+                bytecode[None], walls, markers0, agent0,
+                np.zeros(chunk, np.int32), make_error=True,
+                max_record=cfg.max_demo_length)
+            for i in range(chunk):
+                if len(s_h_list) >= num_needed:
+                    break
+                if not out["success"][i]:
+                    continue
+                L = int(out["length"][i])
+                if not (cfg.min_demo_length <= L <= cfg.max_demo_length):
+                    continue
+                s_h, per = _trace_to_arrays(
+                    walls[i], out["agent"][i], out["markers"][i], L, h, w)
+                s_h_list.append(s_h)
+                a_h_list.append(out["actions"][i, :L - 1].copy())
+                per_list.append(per)
+        else:
+            for s0 in states:
+                if len(s_h_list) >= num_needed:
+                    break
+                world = KarelWorld(s0, make_error=True)
+                _, success = karel_interp.execute(ast, world)
+                if not success:
+                    continue
+                if not (cfg.min_demo_length <= len(world.s_h)
+                        <= cfg.max_demo_length):
+                    continue
+                s_h_list.append(np.stack(world.s_h, axis=0))
+                a_h_list.append(np.array(world.a_h, dtype=np.int8))
+                per_list.append(np.stack(world.p_v_h, axis=0))
     return s_h_list, a_h_list, per_list
 
 
@@ -100,9 +174,21 @@ def _pad_stack(arrs, dtype):
     return out
 
 
-def generate(cfg: GeneratorConfig, progress_every=500):
+def generate(cfg: GeneratorConfig, progress_every=500, backend="auto"):
+    """backend: 'auto' (native C++ engine when buildable), 'native',
+    'python'. Both backends produce identical datasets for a given seed."""
     os.makedirs(cfg.dir_name, exist_ok=True)
     num_total = cfg.num_train + cfg.num_test + cfg.num_val
+
+    if backend == "auto":
+        from demo2program_tpu import native
+        use_native = native.available()
+    elif backend == "native":
+        use_native = True
+    else:
+        use_native = False
+    if use_native:
+        log.info("karel generator: using the native C++ engine")
 
     vocab = KarelVocab()
     sampler = KarelProgramSampler(seed=cfg.seed)
@@ -126,10 +212,18 @@ def generate(cfg: GeneratorConfig, progress_every=500):
             continue
         ast, ok = karel_parser.parse(code)
         assert ok, code
+        bytecode = None
+        if use_native:
+            from demo2program_tpu.dsl.karel_bytecode import (
+                BytecodeTooLong, compile_ast)
+            try:
+                bytecode = compile_ast(ast)
+            except BytecodeTooLong:
+                continue  # cannot roll demos for it either way
 
         s_h_list, a_h_list, per_list = _roll_demos(
             ast, sgen, cfg, cfg.num_demo_per_program,
-            cfg.max_demo_generation_trial)
+            cfg.max_demo_generation_trial, bytecode, use_native)
         if len(s_h_list) < cfg.num_demo_per_program:
             continue
         len_s_h = np.array([s.shape[0] for s in s_h_list], dtype=np.int16)
@@ -140,7 +234,7 @@ def generate(cfg: GeneratorConfig, progress_every=500):
         # (`append_demonstration.py:90-104` loops unboundedly)
         t_s_h, t_a_h, t_per = _roll_demos(
             ast, sgen, cfg, cfg.num_test_demo_per_program,
-            cfg.max_test_demo_generation_trial)
+            cfg.max_test_demo_generation_trial, bytecode, use_native)
         if len(t_s_h) < cfg.num_test_demo_per_program:
             continue
         len_t_s_h = np.array([s.shape[0] for s in t_s_h], dtype=np.int16)
