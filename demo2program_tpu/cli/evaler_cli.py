@@ -11,6 +11,8 @@ from demo2program_tpu.utils import log
 
 
 def main(argv=None):
+    from demo2program_tpu.cli._jax_setup import setup
+    setup()
     p = base_parser()
     p.set_defaults(batch_size=20)
     p.add_argument("--dataset_split", type=str, default="test",

@@ -14,6 +14,8 @@ from demo2program_tpu.utils import log
 
 
 def main(argv=None):
+    from demo2program_tpu.cli._jax_setup import setup
+    setup()
     parser = add_train_flags(base_parser())
     args = parser.parse_args(argv)
 

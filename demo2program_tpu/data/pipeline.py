@@ -62,6 +62,14 @@ class BatchPipeline:
                 batch[key] = np.array([it[key] for it in items])
             else:
                 batch[key] = np.stack([it[key] for it in items], axis=0)
+        if self.sharding is not None:
+            # transfer inside the prefetch worker so host->device copies
+            # overlap the training step instead of blocking it
+            import jax
+            batch = {
+                k: (jax.device_put(v, self.sharding) if k != "id" else v)
+                for k, v in batch.items()
+            }
         return batch
 
     def _ensure_prefetch(self):
@@ -83,10 +91,4 @@ class BatchPipeline:
             raise StopIteration
         batch = self._queue.popleft().result()
         self._ensure_prefetch()
-        if self.sharding is not None:
-            import jax
-            batch = {
-                k: (jax.device_put(v, self.sharding) if k != "id" else v)
-                for k, v in batch.items()
-            }
         return batch

@@ -98,9 +98,10 @@ class VizdoomDataset(KarelDataset):
             "program": program.astype(np.float32),
             "program_tokens": padded_program_tokens.astype(np.int32),
             # raw 0..255 pixel values, exactly as the reference feeds them
-            # (`input_ops_vizdoom.py` casts to float32 without scaling)
-            "s_h": demo.astype(np.float32),
-            "test_s_h": test_demo.astype(np.float32),
+            # (`input_ops_vizdoom.py` casts to float32 without scaling);
+            # shipped as uint8, cast to float on device
+            "s_h": demo.astype(np.uint8),
+            "test_s_h": test_demo.astype(np.uint8),
             "a_h": a_h.astype(np.float32),
             "a_h_tokens": a_h_tokens.astype(np.int32),
             "test_a_h": test_a_h.astype(np.float32),

@@ -30,6 +30,7 @@ class StateEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, s):  # (B, h, w, depth) -> (B, feat)
+        s = s.astype(jnp.float32)  # demos arrive as uint8
         x = Conv2D(16, self.train, name="conv1")(s)
         x = Conv2D(32, self.train, name="conv2")(x)
         x = Conv2D(48, self.train, name="conv3")(x)

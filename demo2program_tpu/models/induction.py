@@ -46,6 +46,8 @@ class InductionStateEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, s, per):  # s: (B, h, w, depth), per: (B, per_dim)
+        s = s.astype(jnp.float32)  # demos arrive as uint8
+        per = per.astype(jnp.float32)
         x = Conv2D(16, self.train, name="conv1")(s)
         x = Conv2D(32, self.train, name="conv2")(x)
         x = Conv2D(48, self.train, name="conv3")(x)

@@ -7,7 +7,7 @@ output. We use plain logging with ANSI colors (no colorlog dependency).
 
 import logging
 
-_INFOV = 15
+_INFOV = 25  # above INFO, below WARNING, like the reference's INFOV
 
 _COLORS = {
     logging.DEBUG: "\033[37m",     # white
