@@ -135,8 +135,8 @@ class Evaler:
             t_total += step_time
 
             loss_d, acc_d, hist_d = self._assemble(report, evals, scores)
-            if not args.quiet:
-                msg = self._step_msg(s, loss_d, acc_d, hist_d, step_time)
+            msg = self._step_msg(s, loss_d, acc_d, hist_d, step_time,
+                                 quiet=args.quiet)
             for d, store in ((loss_d, sums), (acc_d, sums)):
                 for k, v in d.items():
                     store[k] = store.get(k, 0.0) + float(v)
@@ -280,7 +280,7 @@ class Evaler:
             out += "] "
         return out
 
-    def _step_msg(self, step, loss_d, acc_d, hist_d, step_time):
+    def _step_msg(self, step, loss_d, acc_d, hist_d, step_time, quiet=False):
         loss_str = "".join("{}:{loss: .3f} ".format(k, loss=loss_d[k])
                            for k in sorted(loss_d))
         acc_str = "".join("{}:{acc: .3f} ".format(k, acc=acc_d[k])
@@ -289,7 +289,8 @@ class Evaler:
                "{:.3f} instances/sec)").format(
             "val", step, loss_str, acc_str, self._fmt_hist(hist_d),
             step_time, self.args.batch_size / max(step_time, 1e-3))
-        log.infov(msg)
+        if not quiet:
+            log.infov(msg)
         return msg
 
     def _final_msg(self, loss_avg, acc_avg, hist_avg, t_total):

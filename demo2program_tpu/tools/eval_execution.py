@@ -61,17 +61,20 @@ class EvaluationResult:
         return self.outputs[data_id]
 
 
-def batch_check(programs, data_ids, demos, demo_lens, vocab, make_error=True):
+def batch_check(programs, data_ids, demos, demo_lens, vocab, make_error=True,
+                pad_n=None, pad_T=None):
     """Re-execute `programs[i]` against demos[i] (k, T, h, w, 16) on device.
 
-    Returns a list of CheckProgramOutput.
+    pad_n / pad_T fix the compiled shapes so repeated calls share one jit
+    compilation. Returns a list of CheckProgramOutput.
     """
     import jax.numpy as jnp
 
-    n = len(programs)
+    n_real = len(programs)
+    n = pad_n or n_real
     k = demos[0].shape[0]
     h, w = demos[0].shape[2], demos[0].shape[3]
-    T = max(d.shape[1] for d in demos)
+    T = pad_T or max(d.shape[1] for d in demos)
 
     codes = np.zeros([n, DEFAULT_MAX_CODE_LEN, 2], np.int32)
     ok = np.zeros(n, bool)
@@ -81,8 +84,8 @@ def batch_check(programs, data_ids, demos, demo_lens, vocab, make_error=True):
         codes[i], ok[i] = (compile_tokens(ids, vocab)
                            if ids else (codes[i], False))
 
-    demo_np = np.zeros([n, k, T, h, w, demos[0].shape[-1]], np.float32)
-    lens = np.zeros([n, k], np.int32)
+    demo_np = np.zeros([n, k, T, h, w, demos[0].shape[-1]], np.uint8)
+    lens = np.ones([n, k], np.int32)
     for i, d in enumerate(demos):
         demo_np[i, :, :d.shape[1]] = d
         lens[i] = demo_lens[i]
@@ -106,7 +109,7 @@ def batch_check(programs, data_ids, demos, demo_lens, vocab, make_error=True):
     correct = np.asarray(out["correct"]).reshape(n, k) & ok[:, None]
 
     results = []
-    for i in range(n):
+    for i in range(n_real):
         results.append(CheckProgramOutput(
             data_ids[i], programs[i], bool(ok[i]),
             int(correct[i].sum()), correct[i]))
@@ -132,6 +135,7 @@ def main(argv=None):
     with h5py.File(args.data_hdf5, "r") as fd, \
             h5py.File(args.output_hdf5, "r") as fo:
         ids = [k for k in fo.keys() if k != "data_info"]
+        pad_T = int(fd["data_info"]["max_demo_length"][()])
         for lo in range(0, len(ids), args.batch):
             chunk = ids[lo:lo + args.batch]
             tf_progs, greedy_progs = [], []
@@ -152,7 +156,8 @@ def main(argv=None):
                      train_lens),
                     ("test_greedy_result", greedy_progs, test_demos,
                      test_lens)]:
-                for out in batch_check(progs, chunk, demos, lens, vocab):
+                for out in batch_check(progs, chunk, demos, lens, vocab,
+                                       pad_n=args.batch, pad_T=pad_T):
                     results[name].add(out)
 
     report = ""
