@@ -27,6 +27,10 @@ def base_parser():
     p.add_argument("--num_lstm_cell_units", type=int, default=512)
     p.add_argument("--demo_aggregation", type=str, default="avgpool",
                    choices=["concat", "avgpool", "maxpool"])
+    p.add_argument("--cell_impl", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="LSTM step implementation: XLA-fused scan ops or the "
+                        "fused Pallas kernel (ops/pallas_lstm.py)")
     p.add_argument("--scheduled_sampling", action="store_true",
                    default=False)
     p.add_argument("--scheduled_sampling_decay_steps", type=int,

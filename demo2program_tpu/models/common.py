@@ -43,6 +43,9 @@ class ModelConfig:
     level: Optional[str] = None
     # program end token id ('m)' for karel, domain vocab supplies otherwise)
     program_end_token: int = 3
+    # LSTM cell implementation: "xla" (flax OptimizedLSTMCell) or
+    # "pallas" (fused single-kernel step, ops/pallas_lstm.py)
+    cell_impl: str = "xla"
     # induction-baseline flags the reference reads but never defines
     # (SURVEY.md §5 config gap) — given concrete defaults here:
     pixel_input: bool = False
@@ -82,8 +85,8 @@ class SinglePassDemoEncoder(nn.Module):
         bs, k = s_h.shape[0], s_h.shape[1]
         hist, h, c = DemoEncoder(
             self.cfg.num_lstm_cell_units, self.train,
-            self.cfg.dataset_type, name="demo_encoder")(
-                fold_k(s_h), fold_k(demo_len))
+            self.cfg.dataset_type, self.cfg.cell_impl,
+            name="demo_encoder")(fold_k(s_h), fold_k(demo_len))
         return (unfold_k(hist, bs, k), unfold_k(h, bs, k),
                 unfold_k(c, bs, k))
 
@@ -107,7 +110,7 @@ class TwoPassDemoEncoder(nn.Module):
         flat_len = fold_k(demo_len)
 
         hist1, h1, c1 = DemoEncoder(
-            units, self.train, self.cfg.dataset_type,
+            units, self.train, self.cfg.dataset_type, self.cfg.cell_impl,
             name="demo_encoder")(fold_k(s_h), flat_len)
 
         # cross-demo summaries of the first-pass final states (avgpool,
@@ -117,7 +120,8 @@ class TwoPassDemoEncoder(nn.Module):
 
         # second pass, every demo initialized with the same summary state
         rep = lambda x: jnp.repeat(x, k, axis=0)
-        hist2, h2, c2 = SecondPathEncoder(units, name="second_path")(
+        hist2, h2, c2 = SecondPathEncoder(
+            units, self.cfg.cell_impl, name="second_path")(
             hist1, flat_len, rep(summary_c), rep(summary_h))
 
         demo_h = unfold_k(h2, bs, k)   # (bs, k, units)

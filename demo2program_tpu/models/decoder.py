@@ -41,7 +41,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from demo2program_tpu.models.ops import FC
+from demo2program_tpu.models.ops import FC, make_lstm_cell
 
 
 def _cell_only_step(cell, carry, x):
@@ -60,13 +60,14 @@ class _DecoderCore(nn.Module):
     lifted through nn.scan as a single module."""
     token_dim: int
     units: int
+    cell_impl: str = "xla"
 
     def setup(self):
         self.embedding = self.param(
             "embedding",
             nn.initializers.uniform(scale=0.02),  # ~ tf U(-0.01, 0.01)
             (self.token_dim + 1, self.units))
-        self.cell = nn.OptimizedLSTMCell(self.units)
+        self.cell = make_lstm_cell(self.units, self.cell_impl)
         self.proj = nn.Dense(self.token_dim, use_bias=False,
                              name="output_projection")
 
@@ -100,9 +101,11 @@ class TokenDecoder(nn.Module):
     token_dim: int
     units: int
     end_token: int
+    cell_impl: str = "xla"
 
     def setup(self):
-        self.core = _DecoderCore(self.token_dim, self.units, name="core")
+        self.core = _DecoderCore(self.token_dim, self.units,
+                                 self.cell_impl, name="core")
 
     def _shift_gt(self, gt_tokens):
         start = jnp.full((gt_tokens.shape[0], 1), self.token_dim + 1,
@@ -265,13 +268,14 @@ class VectorDecoder(nn.Module):
     out_dim: int
     units: int
     train: bool
+    cell_impl: str = "xla"
 
     @nn.compact
     def __call__(self, init_c, init_h, gt_vectors):
         # gt_vectors: (bs, T, out_dim)
         x = FC(self.units, self.train, activation="none",
                name="per_embed")(gt_vectors)
-        cell = nn.OptimizedLSTMCell(self.units)
+        cell = make_lstm_cell(self.units, self.cell_impl)
         _, outs = _scan_cell(cell, (init_c, init_h), x)
         return nn.Dense(self.out_dim, use_bias=False,
                         name="output_projection")(outs)

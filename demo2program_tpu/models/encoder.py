@@ -19,7 +19,7 @@ length are zeros; the final state is the state at the last valid step
 import flax.linen as nn
 import jax.numpy as jnp
 
-from demo2program_tpu.models.ops import Conv2D, FC
+from demo2program_tpu.models.ops import Conv2D, FC, make_lstm_cell
 
 
 class StateEncoder(nn.Module):
@@ -54,6 +54,7 @@ def _masked_step(cell, carry, inp):
 class LSTMEncoder(nn.Module):
     """Masked LSTM over (B, T, D) with optional initial (c, h) state."""
     units: int
+    cell_impl: str = "xla"
 
     @nn.compact
     def __call__(self, xs, seq_len, init_state=None):
@@ -68,7 +69,7 @@ class LSTMEncoder(nn.Module):
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1, out_axes=1)
-        cell = nn.OptimizedLSTMCell(self.units)
+        cell = make_lstm_cell(self.units, self.cell_impl)
         (c_fin, h_fin), outs = scan(cell, init_state, (xs, valid))
         return outs, h_fin, c_fin
 
@@ -82,6 +83,7 @@ class DemoEncoder(nn.Module):
     units: int
     train: bool
     dataset_type: str = "karel"
+    cell_impl: str = "xla"
 
     @nn.compact
     def __call__(self, s_h, seq_len):
@@ -90,17 +92,19 @@ class DemoEncoder(nn.Module):
         feats = StateEncoder(self.train, self.dataset_type,
                              name="state_encoder")(frames)
         feats = feats.reshape(B, T, -1)
-        return LSTMEncoder(self.units, name="lstm")(feats, seq_len)
+        return LSTMEncoder(self.units, self.cell_impl,
+                           name="lstm")(feats, seq_len)
 
 
 class SecondPathEncoder(nn.Module):
     """Second-pass LSTM over first-pass feature history, initialized with the
     cross-demo summary state (`model_full.py:260-277,387-398`)."""
     units: int
+    cell_impl: str = "xla"
 
     @nn.compact
     def __call__(self, feature_history, seq_len, summary_c, summary_h):
-        return LSTMEncoder(self.units, name="lstm")(
+        return LSTMEncoder(self.units, self.cell_impl, name="lstm")(
             feature_history, seq_len, init_state=(summary_c, summary_h))
 
 

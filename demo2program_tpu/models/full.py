@@ -39,7 +39,7 @@ class FullModel(nn.Module):
         # --- program decoder ---
         program_decoder = TokenDecoder(
             cfg.dim_program_token, cfg.num_lstm_cell_units,
-            cfg.program_end_token, name="program_decoder")
+            cfg.program_end_token, cfg.cell_impl, name="program_decoder")
         gt_tokens = batch["program_tokens"].astype("int32")
         if sampling_prob is not None and self.train:
             out["pred_program_logits"] = program_decoder.scheduled(
@@ -54,7 +54,7 @@ class FullModel(nn.Module):
         action_decoder = TokenDecoder(
             cfg.action_space, cfg.num_lstm_cell_units,
             cfg.action_space - 1,  # <e> end token (`model_full.py:430-431`)
-            name="action_decoder")
+            cfg.cell_impl, name="action_decoder")
         a_c = fold_k(enc["demo_c"])
         a_h = fold_k(enc["demo_h"])
         gt_actions = fold_k(batch["a_h_tokens"].astype("int32"))
@@ -64,7 +64,7 @@ class FullModel(nn.Module):
         # --- perception decoders ---
         per_decoder = VectorDecoder(
             cfg.per_dim, cfg.num_lstm_cell_units, self.train,
-            name="per_decoder")
+            cfg.cell_impl, name="per_decoder")
         per_logits = per_decoder(a_c, a_h, fold_k(batch["per"]))
         out["pred_per_logits"] = unfold_k(per_logits, bs, k)
         out["greedy_per_logits"] = out["pred_per_logits"]  # teacher-forced

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from demo2program_tpu.models.common import ModelConfig, fold_k, unfold_k
 from demo2program_tpu.models.encoder import LSTMEncoder, StateEncoder
-from demo2program_tpu.models.ops import Conv2D, FC
+from demo2program_tpu.models.ops import Conv2D, FC, make_lstm_cell
 from demo2program_tpu.models.common import aggregate_baseline
 
 
@@ -75,6 +75,7 @@ class InductionDemoEncoder(nn.Module):
                                       name="state_encoder")(frames, pers)
         feats = feats.reshape(B, T, -1)
         outs, h, c = LSTMEncoder(self.cfg.num_lstm_cell_units,
+                                 self.cfg.cell_impl,
                                  name="lstm")(feats, seq_len)
         if self.cfg.concat_state_feature_direct_prediction:
             outs = jnp.concatenate([outs, feats], axis=-1)
@@ -85,12 +86,13 @@ class _AttnDecoderCore(nn.Module):
     """One attention-decoder step bundle for nn.scan lifting."""
     action_space: int
     units: int
+    cell_impl: str = "xla"
 
     def setup(self):
         self.embedding = self.param(
             "embedding", nn.initializers.uniform(scale=0.02),
             (self.action_space + 1, self.units))
-        self.cell = nn.OptimizedLSTMCell(self.units)
+        self.cell = make_lstm_cell(self.units, self.cell_impl)
         # shared Luong memory projection + shared attention layer (see module
         # docstring re the reference's variable aliasing)
         self.attn_layer = nn.Dense(self.units, use_bias=False,
@@ -153,7 +155,8 @@ class InductionModel(nn.Module):
         h_sum, c_sum = aggregate_baseline(
             demo_h, demo_c, cfg.demo_aggregation, units)
 
-        core = _AttnDecoderCore(cfg.action_space, units, name="manipulation")
+        core = _AttnDecoderCore(cfg.action_space, units, cfg.cell_impl,
+                                name="manipulation")
         # precompute Luong keys once: one big matmul
         keys = nn.Dense(units, use_bias=False,
                         name="memory_layer")(memory)

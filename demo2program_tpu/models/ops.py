@@ -17,6 +17,17 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def make_lstm_cell(units, impl="xla"):
+    """LSTM cell factory: 'xla' = flax OptimizedLSTMCell (XLA-fused scans),
+    'pallas' = fused single-kernel step (ops/pallas_lstm.py)."""
+    if impl == "pallas":
+        from demo2program_tpu.ops.pallas_lstm import PallasLSTMCell
+        return PallasLSTMCell(units)
+    if impl == "xla":
+        return nn.OptimizedLSTMCell(units)
+    raise ValueError(f"unknown cell impl {impl!r}")
+
+
 def lrelu(x, leak=0.2):
     f1 = 0.5 * (1 + leak)
     f2 = 0.5 * (1 - leak)

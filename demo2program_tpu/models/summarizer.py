@@ -26,7 +26,7 @@ class SummarizerModel(nn.Module):
 
         decoder = TokenDecoder(cfg.dim_program_token,
                                cfg.num_lstm_cell_units,
-                               cfg.program_end_token,
+                               cfg.program_end_token, cfg.cell_impl,
                                name="program_decoder")
         gt_tokens = batch["program_tokens"].astype("int32")
         if sampling_prob is not None and self.train:

@@ -47,6 +47,7 @@ def config_from_dataset(args, dataset):
             scheduled_sampling=args.scheduled_sampling,
             scheduled_sampling_decay_steps=(
                 args.scheduled_sampling_decay_steps),
+            cell_impl=getattr(args, "cell_impl", "xla"),
             dim_program_token=item["program"].shape[0],
             max_program_len=item["program"].shape[1],
             k=item["s_h"].shape[0],
@@ -74,6 +75,7 @@ def config_from_dataset(args, dataset):
         demo_aggregation=args.demo_aggregation,
         scheduled_sampling=args.scheduled_sampling,
         scheduled_sampling_decay_steps=args.scheduled_sampling_decay_steps,
+        cell_impl=getattr(args, "cell_impl", "xla"),
         dim_program_token=item["program"].shape[0],
         max_program_len=item["program"].shape[1],
         k=item["s_h"].shape[0],
