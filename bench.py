@@ -34,7 +34,8 @@ def main():
     from __graft_entry__ import _random_batch
 
     cfg = ModelConfig(model="full", batch_size=32, num_lstm_cell_units=512,
-                      k=10, test_k=5, max_demo_len=20, max_program_len=45)
+                      k=10, test_k=5, max_demo_len=20, max_program_len=45,
+                      cell_impl="pallas")  # fused LSTM kernel: ~1.5x vs xla
     bs = cfg.batch_size
     n_chips = jax.device_count()
     batch = _random_batch(cfg, bs)
