@@ -30,9 +30,12 @@ def main(argv=None):
     p.add_argument("--unseen_test", action="store_true", default=False)
     p.add_argument("--quiet", action="store_true", default=False)
     p.add_argument("--unroll_type", type=str, default="greedy",
-                   choices=["greedy", "syntax_greedy", "syntax_sample"],
+                   choices=["greedy", "syntax_greedy", "syntax_sample",
+                            "beam"],
                    help="program decoding mode; syntax_* constrain each step "
-                        "to grammar-legal tokens via the on-device pushdown")
+                        "to grammar-legal tokens via the on-device pushdown; "
+                        "beam = on-device beam search (--beam_width)")
+    p.add_argument("--beam_width", type=int, default=5)
     p.add_argument("--no_write_summary", action="store_true", default=False)
     p.add_argument("--summary_file", type=str, default=None)
     args = p.parse_args(argv)

@@ -23,7 +23,7 @@ def base_parser():
     p.add_argument("--seed", type=int, default=123)
     # model hyperparameters
     p.add_argument("--encoder_rnn_type", default="lstm",
-                   choices=["lstm", "rnn", "gru"])
+                   choices=["lstm", "bilstm"])
     p.add_argument("--num_lstm_cell_units", type=int, default=512)
     p.add_argument("--demo_aggregation", type=str, default="avgpool",
                    choices=["concat", "avgpool", "maxpool"])

@@ -46,6 +46,8 @@ class ModelConfig:
     # LSTM cell implementation: "xla" (flax OptimizedLSTMCell) or
     # "pallas" (fused single-kernel step, ops/pallas_lstm.py)
     cell_impl: str = "xla"
+    # beam width for decode_mode='beam'
+    beam_width: int = 5
     # induction-baseline flags the reference reads but never defines
     # (SURVEY.md §5 config gap) — given concrete defaults here:
     pixel_input: bool = False
@@ -55,13 +57,17 @@ class ModelConfig:
     stack_subsequent_state: bool = False
 
     def __post_init__(self):
-        if self.encoder_rnn_type != "lstm":
+        allowed = ("lstm", "bilstm") if self.model == "induction_baseline" \
+            else ("lstm",)
+        if self.encoder_rnn_type not in allowed:
             # The reference parses --encoder_rnn_type {lstm,rnn,gru} but its
             # models read cell_state.h/.c and build LSTMStateTuples, which
             # only exist for LSTM (`model_full.py:243-258, 394`): rnn/gru
-            # crash at graph build. We make the constraint explicit.
-            raise ValueError("only encoder_rnn_type='lstm' is functional "
-                             "(matches the reference's working surface)")
+            # crash at graph build. bilstm exists only in the induction
+            # baseline (`model_induction.py:435-449`).
+            raise ValueError(
+                f"encoder_rnn_type={self.encoder_rnn_type!r} is not "
+                f"functional for model={self.model!r} (allowed: {allowed})")
 
 
 def fold_k(x):

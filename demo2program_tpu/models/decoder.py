@@ -143,6 +143,92 @@ class TokenDecoder(nn.Module):
         final, (logits, tokens) = scan(self.core, carry0, None)
         return logits, tokens, final[3]
 
+    def beam(self, init_c, init_h, max_len, beam_width=5):
+        """On-device beam-search decode -> (tokens (bs, L), lengths (bs,))
+        of the best beam, plus all beams' (tokens, lengths, scores).
+
+        The reference has no beam decoder (greedy only); this covers the
+        beam-decode capability listed in BASELINE.json's config matrix.
+        Finished beams are frozen: they may only re-emit the end token at
+        zero added log-probability. Scores are raw log-prob sums (no length
+        normalization), so greedy == beam_width=1.
+        """
+        bs = init_c.shape[0]
+        K = beam_width
+        V = self.token_dim
+        end_token = self.end_token
+        NEG = -1e9
+
+        def rep(x):  # (bs, H) -> (bs*K, H)
+            return jnp.repeat(x, K, axis=0)
+
+        def step(core, carry, _):
+            (c, h), prev, scores, finished, length, t = carry
+            # one decode step for all beams (folded into batch)
+            (c, h), logits = core(((c, h), prev.reshape(bs * K)), None)
+            logp = jax.nn.log_softmax(
+                logits.reshape(bs, K, V), axis=-1)
+            # finished beams: only end_token, at no cost
+            end_only = jnp.full((V,), NEG).at[end_token].set(0.0)
+            logp = jnp.where(finished[:, :, None], end_only[None, None, :],
+                             logp)
+            total = scores[:, :, None] + logp          # (bs, K, V)
+            flat = total.reshape(bs, K * V)
+            top_scores, top_idx = jax.lax.top_k(flat, K)
+            parent = top_idx // V                      # (bs, K)
+            tok = (top_idx % V).astype(jnp.int32)
+
+            # gather parent beam states
+            gather = jnp.arange(bs)[:, None] * K + parent
+            c = c.reshape(bs * K, -1)[gather.reshape(-1)]
+            h = h.reshape(bs * K, -1)[gather.reshape(-1)]
+            finished = jnp.take_along_axis(finished, parent, axis=1)
+            length = jnp.take_along_axis(length, parent, axis=1)
+            newly = (tok == end_token) & ~finished
+            length = jnp.where(newly, t + 1, length)
+            finished = finished | newly
+            return ((c, h), tok, top_scores, finished, length, t + 1), \
+                (tok, parent)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            out_axes=1, length=max_len)
+        # beam 0 starts live; the rest start at -inf so step 1 fans out
+        scores0 = jnp.full((bs, K), NEG).at[:, 0].set(0.0)
+        carry0 = ((rep(init_c), rep(init_h)),
+                  jnp.full((bs, K), self.token_dim, jnp.int32),
+                  scores0,
+                  jnp.zeros((bs, K), bool),
+                  jnp.full((bs, K), max_len, jnp.int32),
+                  jnp.zeros((), jnp.int32))
+        final, (toks, parents) = scan(self.core, carry0, None)
+        _, _, scores, _, lengths, _ = final
+
+        # backtrack the surviving beams through the parent pointers
+        def backtrack(carry, step_data):
+            beam_idx = carry
+            tok_t, parent_t = step_data
+            tok = jnp.take_along_axis(tok_t, beam_idx, axis=1)
+            beam_idx = jnp.take_along_axis(parent_t, beam_idx, axis=1)
+            return beam_idx, tok
+
+        init_idx = jnp.tile(jnp.arange(K)[None, :], (bs, 1))
+        _, rev_tokens = jax.lax.scan(
+            backtrack, init_idx,
+            (jnp.moveaxis(toks, 1, 0)[::-1],
+             jnp.moveaxis(parents, 1, 0)[::-1]))
+        all_tokens = jnp.moveaxis(rev_tokens[::-1], 0, 2)  # (bs, K, L)
+
+        best = jnp.argmax(scores, axis=1)
+        best_tokens = jnp.take_along_axis(
+            all_tokens, best[:, None, None], axis=1)[:, 0]
+        best_len = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
+        return (best_tokens, best_len,
+                {"tokens": all_tokens, "lengths": lengths,
+                 "scores": scores})
+
     def greedy_constrained(self, init_c, init_h, max_len, syntax,
                            sample_rng=None):
         """Syntax-constrained decoding with the pushdown tables from

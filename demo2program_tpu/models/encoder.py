@@ -74,6 +74,32 @@ class LSTMEncoder(nn.Module):
         return outs, h_fin, c_fin
 
 
+class BiLSTMEncoder(nn.Module):
+    """Bidirectional masked LSTM; outputs and final states are SUMMED over
+    the two directions, as the induction baseline does
+    (`model_induction.py:435-449` stacks then reduce_sums)."""
+    units: int
+    cell_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, xs, seq_len, init_state=None):
+        B, T, _ = xs.shape
+        fwd_out, fwd_h, fwd_c = LSTMEncoder(
+            self.units, self.cell_impl, name="fwd")(xs, seq_len, init_state)
+        # per-sequence reversal within each sequence's length
+        # (tf.reverse_sequence semantics)
+        t_idx = jnp.arange(T)[None, :]
+        rev_idx = jnp.where(t_idx < seq_len[:, None],
+                            seq_len[:, None] - 1 - t_idx, t_idx)
+        xs_rev = jnp.take_along_axis(xs, rev_idx[:, :, None], axis=1)
+        bwd_out_rev, bwd_h, bwd_c = LSTMEncoder(
+            self.units, self.cell_impl, name="bwd")(xs_rev, seq_len,
+                                                    init_state)
+        bwd_out = jnp.take_along_axis(bwd_out_rev, rev_idx[:, :, None],
+                                      axis=1)
+        return fwd_out + bwd_out, fwd_h + bwd_h, fwd_c + bwd_c
+
+
 class DemoEncoder(nn.Module):
     """CNN per frame -> LSTM over time (`model_full.py:235-258`).
 

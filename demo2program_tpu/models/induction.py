@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from demo2program_tpu.models.common import ModelConfig, fold_k, unfold_k
-from demo2program_tpu.models.encoder import LSTMEncoder, StateEncoder
+from demo2program_tpu.models.encoder import (BiLSTMEncoder, LSTMEncoder,
+                                             StateEncoder)
 from demo2program_tpu.models.ops import Conv2D, FC, make_lstm_cell
 from demo2program_tpu.models.common import aggregate_baseline
 
@@ -74,19 +75,33 @@ class InductionDemoEncoder(nn.Module):
         feats = InductionStateEncoder(self.cfg, self.train,
                                       name="state_encoder")(frames, pers)
         feats = feats.reshape(B, T, -1)
-        outs, h, c = LSTMEncoder(self.cfg.num_lstm_cell_units,
-                                 self.cfg.cell_impl,
-                                 name="lstm")(feats, seq_len)
+        enc_cls = (BiLSTMEncoder
+                   if self.cfg.encoder_rnn_type == "bilstm" else LSTMEncoder)
+        outs, h, c = enc_cls(self.cfg.num_lstm_cell_units,
+                             self.cfg.cell_impl,
+                             name="lstm")(feats, seq_len)
         if self.cfg.concat_state_feature_direct_prediction:
             outs = jnp.concatenate([outs, feats], axis=-1)
         return outs, h, c
 
 
 class _AttnDecoderCore(nn.Module):
-    """One attention-decoder step bundle for nn.scan lifting."""
+    """One attention-decoder step bundle for nn.scan lifting.
+
+    attn_type 'luong': softmax alignments. 'luong_monotonic': Raffel et al.
+    monotonic attention in the parallel-training formulation used by TF's
+    LuongMonotonicAttention (`model_induction.py:649-651`):
+
+        p      = sigmoid(score)
+        cp     = exclusive-cumprod(1 - p)
+        align  = p * cp * cumsum(prev_align / max(cp, eps))
+
+    with alignments initialized to a dirac at position 0.
+    """
     action_space: int
     units: int
     cell_impl: str = "xla"
+    attn_type: str = "luong"
 
     def setup(self):
         self.embedding = self.param(
@@ -107,13 +122,23 @@ class _AttnDecoderCore(nn.Module):
 
     def __call__(self, carry, x_emb, memory, keys, mask):
         """x_emb: (bs, E); memory/keys: (bs, k, T, units); mask: (bs, k, T)"""
-        (c, h), attention = carry
+        (c, h), attention, prev_align = carry
         cell_in = jnp.concatenate([x_emb, attention], axis=-1)
         (c, h), out = self.cell((c, h), cell_in)
         # Luong scores against all k memories at once
         scores = jnp.einsum("bu,bktu->bkt", out, keys)
         scores = jnp.where(mask, scores, -1e9)
-        align = jax.nn.softmax(scores, axis=-1)
+        if self.attn_type == "luong_monotonic":
+            p = jax.nn.sigmoid(scores)
+            one_minus = jnp.where(mask, 1.0 - p, 1.0)
+            cp = jnp.cumprod(
+                jnp.concatenate([jnp.ones_like(one_minus[..., :1]),
+                                 one_minus[..., :-1]], axis=-1), axis=-1)
+            q = prev_align / jnp.clip(cp, 1e-10, 1.0)
+            align = p * cp * jnp.cumsum(q, axis=-1)
+            align = jnp.where(mask, align, 0.0)
+        else:
+            align = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bkt,bktu->bku", align, memory)
         # shared attention layer over concat(cell_output, context) per k
         k = memory.shape[1]
@@ -123,7 +148,7 @@ class _AttnDecoderCore(nn.Module):
             jnp.concatenate([out_tiled, ctx], axis=-1))  # (bs, k, units)
         attention = att_k.mean(axis=1)
         logits = self.proj(attention)
-        return ((c, h), attention), logits
+        return ((c, h), attention, align), logits
 
 
 class InductionModel(nn.Module):
@@ -134,21 +159,27 @@ class InductionModel(nn.Module):
     def __call__(self, batch, include_greedy=True, sampling_prob=None,
                  rng=None):
         cfg = self.cfg
-        if cfg.attn_type != "luong":
-            raise NotImplementedError(
-                f"attn_type={cfg.attn_type!r}: only 'luong' is implemented "
-                "(luong_monotonic planned)")
-        if cfg.stack_subsequent_state:
-            raise NotImplementedError("stack_subsequent_state not yet "
-                                      "supported")
+        if cfg.attn_type not in ("luong", "luong_monotonic"):
+            raise ValueError(f"unknown attn_type {cfg.attn_type!r}")
         bs = batch["s_h"].shape[0]
         k, test_k = cfg.k, cfg.test_k
         units = cfg.num_lstm_cell_units
         demo_len = batch["demo_len"].astype("int32")
         test_len = batch["test_demo_len"].astype("int32")
 
+        s_h, per = batch["s_h"], batch["per"]
+        if cfg.stack_subsequent_state:
+            # encode consecutive state PAIRS stacked on the channel axis
+            # (`model_induction.py:385-396`). Note: the reference forgets to
+            # slice its perception tensor to the shortened time axis, which
+            # crashes at graph build; we align per with the first state of
+            # each pair.
+            s_h = jnp.concatenate([s_h[:, :, :-1], s_h[:, :, 1:]], axis=-1)
+            per = per[:, :, :-1]
+            demo_len = demo_len - 1
+
         hist, h, c = InductionDemoEncoder(cfg, self.train, name="encoder")(
-            fold_k(batch["s_h"]), fold_k(batch["per"]), fold_k(demo_len))
+            fold_k(s_h), fold_k(per), fold_k(demo_len))
         memory = unfold_k(hist, bs, k)          # (bs, k, T, units)
         demo_h = unfold_k(h, bs, k)
         demo_c = unfold_k(c, bs, k)
@@ -156,7 +187,7 @@ class InductionModel(nn.Module):
             demo_h, demo_c, cfg.demo_aggregation, units)
 
         core = _AttnDecoderCore(cfg.action_space, units, cfg.cell_impl,
-                                name="manipulation")
+                                cfg.attn_type, name="manipulation")
         # precompute Luong keys once: one big matmul
         keys = nn.Dense(units, use_bias=False,
                         name="memory_layer")(memory)
@@ -173,6 +204,9 @@ class InductionModel(nn.Module):
         # QUIRK: swapped (c, h) init — c <- h_summary, h <- c_summary
         init_c, init_h = rep(h_sum), rep(c_sum)
         att0 = jnp.zeros((bs * test_k, units))
+        # monotonic attention starts with a dirac alignment at position 0
+        T_mem = memory.shape[2]
+        align0 = jnp.zeros((bs * test_k, k, T_mem)).at[:, :, 0].set(1.0)
 
         gt = fold_k(batch["test_a_h_tokens"].astype("int32"))  # (bs*tk, T)
         start = jnp.full((bs * test_k, 1), cfg.action_space + 1, gt.dtype)
@@ -185,7 +219,7 @@ class InductionModel(nn.Module):
         scan_tf = nn.scan(tf_step, variable_broadcast="params",
                           split_rngs={"params": False},
                           in_axes=1, out_axes=1)
-        carry0 = (((init_c, init_h), att0))
+        carry0 = (((init_c, init_h), att0, align0))
         _, logits = scan_tf(core, carry0, gt_in)
         out = {"pred_action_logits": unfold_k(logits, bs, test_k)}
 

@@ -57,6 +57,14 @@ def _decode_program(decoder, init_c, init_h, cfg, decode_mode, rng):
     they are karel-only there too)."""
     if decode_mode == "greedy":
         return decoder.greedy(init_c, init_h, cfg.max_program_len)
+    if decode_mode == "beam":
+        import jax
+        tokens, lengths, _ = decoder.beam(
+            init_c, init_h, cfg.max_program_len, cfg.beam_width)
+        # indicator "logits" so downstream argmax-based metrics see the
+        # beam's tokens (beam search has no per-step distribution to report)
+        logits = jax.nn.one_hot(tokens, cfg.dim_program_token)
+        return logits, tokens, lengths
     if decode_mode in ("syntax_greedy", "syntax_sample"):
         if cfg.dataset_type != "karel":
             raise NotImplementedError(

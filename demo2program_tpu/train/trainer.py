@@ -43,11 +43,13 @@ def config_from_dataset(args, dataset):
             dataset_type="vizdoom",
             batch_size=args.batch_size,
             num_lstm_cell_units=args.num_lstm_cell_units,
+            encoder_rnn_type=args.encoder_rnn_type,
             demo_aggregation=args.demo_aggregation,
             scheduled_sampling=args.scheduled_sampling,
             scheduled_sampling_decay_steps=(
                 args.scheduled_sampling_decay_steps),
             cell_impl=getattr(args, "cell_impl", "xla"),
+            beam_width=getattr(args, "beam_width", 5),
             dim_program_token=item["program"].shape[0],
             max_program_len=item["program"].shape[1],
             k=item["s_h"].shape[0],
@@ -72,10 +74,12 @@ def config_from_dataset(args, dataset):
         dataset_type=args.dataset_type,
         batch_size=args.batch_size,
         num_lstm_cell_units=args.num_lstm_cell_units,
+        encoder_rnn_type=args.encoder_rnn_type,
         demo_aggregation=args.demo_aggregation,
         scheduled_sampling=args.scheduled_sampling,
         scheduled_sampling_decay_steps=args.scheduled_sampling_decay_steps,
         cell_impl=getattr(args, "cell_impl", "xla"),
+        beam_width=getattr(args, "beam_width", 5),
         dim_program_token=item["program"].shape[0],
         max_program_len=item["program"].shape[1],
         k=item["s_h"].shape[0],

@@ -1,0 +1,72 @@
+"""Beam-search decoder tests."""
+
+import jax
+import numpy as np
+
+from demo2program_tpu.dsl import karel_parser
+from demo2program_tpu.dsl.karel_vocab import KarelVocab
+from demo2program_tpu.models.synthesis import SynthesisModel
+from tests.test_models import tiny_cfg, random_batch, BS, L
+
+
+def test_beam_width_1_equals_greedy():
+    cfg1 = tiny_cfg(model="synthesis_baseline", beam_width=1)
+    batch = random_batch(20)
+    model = SynthesisModel(cfg1, train=False)
+    variables = model.init(jax.random.key(1), batch)
+    out_g = model.apply(variables, batch, decode_mode="greedy")
+    out_b = model.apply(variables, batch, decode_mode="beam")
+    np.testing.assert_array_equal(
+        np.asarray(out_g["greedy_program_tokens"]),
+        np.asarray(out_b["greedy_program_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_g["greedy_program_len"]),
+        np.asarray(out_b["greedy_program_len"]))
+
+
+def test_beam_improves_or_matches_greedy_score():
+    """The best beam's log-prob must be >= the greedy path's log-prob under
+    the same model."""
+    cfg = tiny_cfg(model="synthesis_baseline", beam_width=4)
+    batch = random_batch(21)
+    model = SynthesisModel(cfg, train=False)
+    variables = model.init(jax.random.key(2), batch)
+    out_g = model.apply(variables, batch, decode_mode="greedy")
+    out_b = model.apply(variables, batch, decode_mode="beam")
+
+    def seq_logprob(logits, tokens, length):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = np.take_along_axis(np.asarray(logp),
+                                    np.asarray(tokens)[..., None],
+                                    axis=-1)[..., 0]
+        mask = np.arange(logits.shape[1])[None, :] < np.asarray(length)[:, None]
+        return (picked * mask).sum(axis=1)
+
+    g_score = seq_logprob(out_g["greedy_program_logits"],
+                          out_g["greedy_program_tokens"],
+                          out_g["greedy_program_len"])
+    # recompute beam sequence log-prob by teacher-forcing the beam tokens
+    from demo2program_tpu.models.decoder import TokenDecoder  # noqa: F401
+    b_tokens = np.asarray(out_b["greedy_program_tokens"])
+    b_len = np.asarray(out_b["greedy_program_len"])
+    # feed beam tokens as "gt" through the shared decoder to get step logits
+    batch_b = dict(batch)
+    batch_b["program_tokens"] = b_tokens.astype(np.int32)
+    out_tf = model.apply(variables, batch_b, include_greedy=False)
+    b_score = seq_logprob(out_tf["pred_program_logits"], b_tokens, b_len)
+    assert (b_score >= g_score - 1e-3).all(), (b_score, g_score)
+
+
+def test_beam_lengths_and_tokens_consistent():
+    cfg = tiny_cfg(model="synthesis_baseline", beam_width=3)
+    batch = random_batch(22)
+    model = SynthesisModel(cfg, train=False)
+    variables = model.init(jax.random.key(3), batch)
+    out = model.apply(variables, batch, decode_mode="beam")
+    toks = np.asarray(out["greedy_program_tokens"])
+    lens = np.asarray(out["greedy_program_len"])
+    end = cfg.program_end_token
+    for b in range(BS):
+        assert 1 <= lens[b] <= L
+        if lens[b] < L:
+            assert toks[b, lens[b] - 1] == end

@@ -34,12 +34,73 @@ def test_induction_forward_and_loss():
     assert objective.program_eval_tensors(cfg, out, batch) == {}
 
 
-def test_induction_rejects_unimplemented_attn():
+def test_induction_monotonic_attention():
     cfg = tiny_cfg(model="induction_baseline", attn_type="luong_monotonic")
     batch = random_batch(6)
+    batch["test_a_h"] = np.eye(A, dtype=np.float32)[
+        np.random.RandomState(6).randint(0, A, size=(BS, TK, T))]
+    batch["test_a_h_tokens"] = batch["test_a_h"].argmax(-1).astype(np.int32)
     model = InductionModel(cfg, train=True)
-    with pytest.raises(NotImplementedError):
+    variables = model.init(jax.random.key(0), batch)
+    out, _ = model.apply(variables, batch, mutable=["batch_stats"])
+    assert out["pred_action_logits"].shape == (BS, TK, T, A)
+    assert np.isfinite(np.asarray(out["pred_action_logits"])).all()
+    loss, _ = objective.compute_loss(cfg, out, batch, "induction_baseline")
+    assert np.isfinite(float(loss))
+    # gradients flow through the monotonic recursion
+    def loss_fn(p):
+        o, _ = model.apply({"params": p,
+                            "batch_stats": variables["batch_stats"]},
+                           batch, include_greedy=False,
+                           mutable=["batch_stats"])
+        l, _ = objective.compute_loss(cfg, o, batch, "induction_baseline")
+        return l
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(float((g ** 2).sum())
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_induction_stack_subsequent_state_and_flags():
+    cfg = tiny_cfg(model="induction_baseline", stack_subsequent_state=True,
+                   state_encoder_fc=True,
+                   concat_state_feature_direct_prediction=True)
+    batch = random_batch(9)
+    batch["test_a_h"] = np.eye(A, dtype=np.float32)[
+        np.random.RandomState(9).randint(0, A, size=(BS, TK, T))]
+    batch["test_a_h_tokens"] = batch["test_a_h"].argmax(-1).astype(np.int32)
+    model = InductionModel(cfg, train=True)
+    variables = model.init(jax.random.key(0), batch)
+    enc = variables["params"]["encoder"]["state_encoder"]
+    assert "fc1" in enc and "fc2" in enc    # state_encoder_fc path
+    out, _ = model.apply(variables, batch, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out["pred_action_logits"])).all()
+
+
+def test_induction_rejects_unknown_attn():
+    cfg = tiny_cfg(model="induction_baseline", attn_type="bogus")
+    batch = random_batch(6)
+    model = InductionModel(cfg, train=True)
+    with pytest.raises(ValueError):
         model.init(jax.random.key(0), batch)
+
+
+def test_induction_bilstm_encoder():
+    cfg = tiny_cfg(model="induction_baseline", encoder_rnn_type="bilstm")
+    batch = random_batch(8)
+    batch["test_a_h"] = np.eye(A, dtype=np.float32)[
+        np.random.RandomState(8).randint(0, A, size=(BS, TK, T))]
+    batch["test_a_h_tokens"] = batch["test_a_h"].argmax(-1).astype(np.int32)
+    model = InductionModel(cfg, train=True)
+    variables = model.init(jax.random.key(0), batch)
+    # two directions share nothing: fwd and bwd sub-params exist
+    lstm = variables["params"]["encoder"]["lstm"]
+    assert "fwd" in lstm and "bwd" in lstm
+    out, _ = model.apply(variables, batch, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out["pred_action_logits"])).all()
+    # bilstm is induction-only, like the reference
+    with pytest.raises(ValueError):
+        tiny_cfg(model="full", encoder_rnn_type="bilstm")
 
 
 def test_induction_attention_masks_padding():
