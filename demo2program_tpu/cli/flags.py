@@ -47,4 +47,8 @@ def add_train_flags(p):
     p.add_argument("--test_sample_step", type=int, default=100)
     p.add_argument("--ckpt_save_step", type=int, default=1000)
     p.add_argument("--max_steps", type=int, default=1_000_000)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps (written "
+                        "to <train_dir>/profile)")
+    p.add_argument("--profile_start", type=int, default=10)
     return p

@@ -50,3 +50,34 @@ def shard_batch(batch, mesh, axis_name="data"):
     sh = batch_sharding(mesh, axis_name)
     return {k: (jax.device_put(v, sh) if k != "id" else v)
             for k, v in batch.items()}
+
+
+def make_mesh_2d(dp, demo_par, axis_names=("data", "demo")):
+    """2D mesh: batch sharded over `data`, the k seen demos additionally
+    sharded over `demo` — the demo axis is an internal batch axis
+    (SURVEY.md §2.6), so at large k (ViZDoom k=40) it gives a second
+    parallelism dimension without any model partitioning."""
+    devices = jax.devices()
+    if len(devices) < dp * demo_par:
+        raise ValueError(f"need {dp * demo_par} devices, have {len(devices)}")
+    arr = np.array(devices[:dp * demo_par]).reshape(dp, demo_par)
+    return Mesh(arr, axis_names)
+
+
+# seen-demo tensors carry (bs, k, ...) and shard on both axes; everything
+# else shards on the batch axis only
+_DEMO_AXIS_KEYS = ("s_h", "a_h", "a_h_tokens", "per", "demo_len",
+                   "init_pos", "init_pos_len")
+
+
+def shard_batch_2d(batch, mesh):
+    out = {}
+    for k, v in batch.items():
+        if k == "id":
+            out[k] = v
+        elif k in _DEMO_AXIS_KEYS:
+            out[k] = jax.device_put(
+                v, NamedSharding(mesh, P("data", "demo")))
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P("data")))
+    return out

@@ -198,13 +198,28 @@ class Trainer:
     def train(self, max_steps=1_000_000):
         args = self.args
         log.infov("Training Starts!")
+        profile_steps = getattr(args, "profile_steps", 0)
+        profile_start = getattr(args, "profile_start", 10)
         for s in range(max_steps):
+            if profile_steps and s == profile_start:
+                # SURVEY.md §5: the reference has no tracing at all; capture
+                # a jax.profiler trace over a window of steps
+                jax.profiler.start_trace(
+                    os.path.join(self.train_dir, "profile"))
+                log.infov("profiler trace started at step %d", s)
             t0 = time.time()
             batch = next(self.pipe_train)
+            t_data = time.time() - t0
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, report = self.train_step(self.state, batch, step_rng)
+            if profile_steps and s == profile_start + profile_steps - 1:
+                jax.block_until_ready(report["loss"])
+                jax.profiler.stop_trace()
+                log.infov("profiler trace written to %s",
+                          os.path.join(self.train_dir, "profile"))
             if s % args.log_step == 0:
                 report = jax.device_get(report)
+                report["sec_data_wait"] = t_data
                 self._log_line("train", int(self.state.step), report,
                                time.time() - t0)
                 self._write_metrics("train", self.state.step, report)
