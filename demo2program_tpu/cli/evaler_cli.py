@@ -53,8 +53,10 @@ def main(argv=None):
                                        is_train=False)
     target = dict(zip(["train", "test", "val"], splits))[args.dataset_split]
     if args.id_list:
+        from demo2program_tpu.data.dataset import check_data_id
         with open(args.id_list) as f:
             wanted = [line.strip() for line in f if line.strip()]
+        check_data_id(target, wanted)
         target._ids = wanted
 
     if not args.max_steps > 0:

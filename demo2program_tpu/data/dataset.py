@@ -142,6 +142,17 @@ class KarelDataset:
         return f"KarelDataset ({self.name}, {len(self)} examples)"
 
 
+def check_data_id(dataset, data_id):
+    """Validate that requested ids exist in the dataset
+    (`input_ops_karel.py:7-21`)."""
+    if not data_id:
+        return
+    wrong = [i for i in data_id if i not in dataset.data]
+    if wrong:
+        raise RuntimeError("There are %d invalid ids, including %s" % (
+            len(wrong), wrong[:5]))
+
+
 def all_ids(dataset_path, rng_seed=_SPLIT_RNG_SEED):
     with h5py.File(osp.join(dataset_path, "data.hdf5"), "r") as f:
         num_train = int(_scalar(f["data_info"]["num_train"]))

@@ -43,7 +43,7 @@ def config_from_dataset(args, dataset):
             dataset_type="vizdoom",
             batch_size=args.batch_size,
             num_lstm_cell_units=args.num_lstm_cell_units,
-            encoder_rnn_type=args.encoder_rnn_type,
+            encoder_rnn_type=getattr(args, "encoder_rnn_type", "lstm"),
             demo_aggregation=args.demo_aggregation,
             scheduled_sampling=args.scheduled_sampling,
             scheduled_sampling_decay_steps=(
@@ -74,7 +74,7 @@ def config_from_dataset(args, dataset):
         dataset_type=args.dataset_type,
         batch_size=args.batch_size,
         num_lstm_cell_units=args.num_lstm_cell_units,
-        encoder_rnn_type=args.encoder_rnn_type,
+        encoder_rnn_type=getattr(args, "encoder_rnn_type", "lstm"),
         demo_aggregation=args.demo_aggregation,
         scheduled_sampling=args.scheduled_sampling,
         scheduled_sampling_decay_steps=args.scheduled_sampling_decay_steps,

@@ -92,6 +92,29 @@ def test_ground_truth_programs_score_perfectly(tiny_dataset_dir):  # noqa: F811
     assert (tnc == 3).all(), tnc
 
 
+def test_trainer_scheduled_sampling(tiny_dataset_dir, tmp_path):  # noqa: F811
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    args = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline",
+                 batch_size=4, scheduled_sampling=True,
+                 scheduled_sampling_decay_steps=10)
+    trainer = Trainer(args, ds_train, ds_test)
+    trainer.train(max_steps=3)
+    assert int(trainer.state.step) == 3
+
+
+def test_check_data_id(tiny_dataset_dir):  # noqa: F811
+    import pytest as _pytest
+    from demo2program_tpu.data.dataset import (
+        check_data_id, create_default_splits)
+    ds, _, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    check_data_id(ds, ds.ids[:2])  # valid
+    with _pytest.raises(RuntimeError):
+        check_data_id(ds, ["nonexistent_id"])
+
+
 def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
