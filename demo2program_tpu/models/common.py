@@ -1,6 +1,6 @@
 """Shared model plumbing: configs and the one/two-pass demo encoders."""
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import flax.linen as nn

@@ -34,8 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from demo2program_tpu.models.common import ModelConfig, fold_k, unfold_k
-from demo2program_tpu.models.encoder import (BiLSTMEncoder, LSTMEncoder,
-                                             StateEncoder)
+from demo2program_tpu.models.encoder import BiLSTMEncoder, LSTMEncoder
 from demo2program_tpu.models.ops import Conv2D, FC, make_lstm_cell
 from demo2program_tpu.models.common import aggregate_baseline
 

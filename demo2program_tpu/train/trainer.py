@@ -19,8 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from demo2program_tpu.data import create_default_splits, BatchPipeline
-from demo2program_tpu.data.dataset import KarelDataset
+from demo2program_tpu.data import BatchPipeline
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
 from demo2program_tpu.models import get_model_class
 from demo2program_tpu.models.common import ModelConfig
