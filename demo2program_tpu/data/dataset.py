@@ -24,6 +24,7 @@ num_val, each shuffled by a fixed RandomState(123) (`dataset_karel.py:11,
 143-160`) so runs are comparable with the reference.
 """
 
+import os
 import os.path as osp
 
 import h5py
@@ -39,6 +40,28 @@ def _scalar(ds):
     if isinstance(v, bytes):
         return v.decode()
     return v
+
+
+_PRELOAD_LIMIT_BYTES = int(os.environ.get(
+    "D2P_PRELOAD_LIMIT_BYTES", 3 * 1024 ** 3))
+
+
+class _PreloadedFile:
+    """Materializes every group's datasets into numpy once; h5py access is
+    lock-serialized and per-read overhead dominates the input pipeline, so
+    datasets under the preload limit are served straight from RAM."""
+
+    def __init__(self, h5file, ids):
+        self._groups = {}
+        for id_ in ids:
+            g = h5file[id_]
+            self._groups[id_] = {k: g[k][()] for k in g.keys()}
+
+    def __getitem__(self, id_):
+        return self._groups[id_]
+
+    def __contains__(self, id_):
+        return id_ in self._groups
 
 
 class KarelDataset:
@@ -62,6 +85,15 @@ class KarelDataset:
         self.num_action_tokens = int(_scalar(info["num_action_tokens"]))
         self.env_type = (_scalar(info["env_type"])
                          if "env_type" in info else None)
+        self._store = self._maybe_preload(filename)
+
+    def _maybe_preload(self, filename):
+        fsize = os.path.getsize(filename)
+        if fsize <= _PRELOAD_LIMIT_BYTES:
+            log.info("preloading %s (%.0f MB) into memory", filename,
+                     fsize / 1e6)
+            return _PreloadedFile(self.data, self._ids)
+        return self.data
 
     # -- single-example load --------------------------------------------------
     def _action_onehots(self, a_h_rows):
@@ -80,7 +112,7 @@ class KarelDataset:
         return onehot, tokens
 
     def get_data(self, id_):
-        grp = self.data[id_]
+        grp = self._store[id_]
         program_tokens = grp["program"][()]
         program = np.zeros(
             [self.num_program_tokens, self.max_program_len], dtype=bool)

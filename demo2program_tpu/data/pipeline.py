@@ -26,7 +26,7 @@ class BatchPipeline:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 num_threads=16, prefetch=4, sharding=None):
+                 num_threads=4, prefetch=4, sharding=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,7 +55,11 @@ class BatchPipeline:
         return len(self.dataset) // self.batch_size
 
     def _load_batch(self, id_batch):
-        items = list(self._pool.map(self.dataset.get_data, id_batch))
+        # items are loaded SERIALLY within a batch: h5py serializes all
+        # access behind a global lock, so per-item thread fan-out only adds
+        # GIL thrash (measured 5x slower). Parallelism comes from multiple
+        # batches in flight (the executor) + in-memory dataset preloading.
+        items = [self.dataset.get_data(i) for i in id_batch]
         batch = {}
         for key in items[0]:
             if key == "id":

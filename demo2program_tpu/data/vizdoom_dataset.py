@@ -53,9 +53,10 @@ class VizdoomDataset(KarelDataset):
         self.s_h_h = int(_scalar(info["s_h_h"]))
         self.s_h_w = int(_scalar(info["s_h_w"]))
         self.s_h_c = int(_scalar(info["s_h_c"]))
+        self._store = self._maybe_preload(filename)
 
     def get_data(self, id_):
-        grp = self.data[id_]
+        grp = self._store[id_]
         k = self.num_k
         program_tokens = grp["program"][()]
         program = np.zeros(
