@@ -146,21 +146,22 @@ class KarelDataset:
         k = self.num_k
         return {
             "id": id_,
-            "program": program.astype(np.float32),
+            # one-hot/bool tensors travel host->device as uint8 and are cast
+            # to float on device (the tunnel, not the host, is the input
+            # bottleneck; the reference shipped everything as float32)
+            "program": program.astype(np.uint8),
             "program_tokens": padded_program_tokens.astype(np.int32),
-            # demos travel host->device as uint8 (4x less tunnel traffic
-            # than the reference's float32 feed); models cast on device
             "s_h": demo[:k].astype(np.uint8),
             "test_s_h": test_demo.astype(np.uint8),
-            "a_h": a_h[:k].astype(np.float32),
+            "a_h": a_h[:k].astype(np.uint8),
             "a_h_tokens": a_h_tokens[:k].astype(np.int32),
-            "test_a_h": test_a_h.astype(np.float32),
+            "test_a_h": test_a_h.astype(np.uint8),
             "test_a_h_tokens": test_a_h_tokens.astype(np.int32),
             "program_len": program_len.astype(np.float32),
             "demo_len": demo_len[:k].astype(np.float32),
             "test_demo_len": test_demo_len.astype(np.float32),
-            "per": per[:k].astype(np.float32),
-            "test_per": test_per.astype(np.float32),
+            "per": per[:k].astype(np.uint8),
+            "test_per": test_per.astype(np.uint8),
         }
 
     @property

@@ -26,12 +26,13 @@ class BatchPipeline:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 num_threads=4, prefetch=4, sharding=None):
+                 num_threads=4, prefetch=4, sharding=None, drop_keys=()):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.sharding = sharding
+        self.drop_keys = frozenset(drop_keys)
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         self._prefetch = prefetch
         self._queue = deque()
@@ -62,6 +63,8 @@ class BatchPipeline:
         items = [self.dataset.get_data(i) for i in id_batch]
         batch = {}
         for key in items[0]:
+            if key in self.drop_keys:
+                continue
             if key == "id":
                 batch[key] = np.array([it[key] for it in items])
             else:

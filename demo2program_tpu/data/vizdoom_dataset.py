@@ -96,22 +96,22 @@ class VizdoomDataset(KarelDataset):
 
         return {
             "id": id_,
-            "program": program.astype(np.float32),
+            "program": program.astype(np.uint8),
             "program_tokens": padded_program_tokens.astype(np.int32),
             # raw 0..255 pixel values, exactly as the reference feeds them
             # (`input_ops_vizdoom.py` casts to float32 without scaling);
             # shipped as uint8, cast to float on device
             "s_h": demo.astype(np.uint8),
             "test_s_h": test_demo.astype(np.uint8),
-            "a_h": a_h.astype(np.float32),
+            "a_h": a_h.astype(np.uint8),
             "a_h_tokens": a_h_tokens.astype(np.int32),
-            "test_a_h": test_a_h.astype(np.float32),
+            "test_a_h": test_a_h.astype(np.uint8),
             "test_a_h_tokens": test_a_h_tokens.astype(np.int32),
             "program_len": np.array([len(program_tokens)], np.float32),
             "demo_len": grp["s_h_len"][()][:k].astype(np.float32),
             "test_demo_len": grp["test_s_h_len"][()].astype(np.float32),
-            "per": per.astype(np.float32),
-            "test_per": test_per.astype(np.float32),
+            "per": per.astype(np.uint8),
+            "test_per": test_per.astype(np.uint8),
             "init_pos": init_pos.astype(np.int32),
             "init_pos_len": init_pos_len.astype(np.int32),
             "test_init_pos": test_init_pos.astype(np.int32),

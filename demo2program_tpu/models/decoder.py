@@ -358,9 +358,9 @@ class VectorDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, init_c, init_h, gt_vectors):
-        # gt_vectors: (bs, T, out_dim)
+        # gt_vectors: (bs, T, out_dim), shipped as uint8
         x = FC(self.units, self.train, activation="none",
-               name="per_embed")(gt_vectors)
+               name="per_embed")(gt_vectors.astype(jnp.float32))
         cell = make_lstm_cell(self.units, self.cell_impl)
         _, outs = _scan_cell(cell, (init_c, init_h), x)
         return nn.Dense(self.out_dim, use_bias=False,

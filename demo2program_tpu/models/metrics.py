@@ -33,6 +33,7 @@ def sequence_metrics(logits, gt_onehot, gt_len, pred_len,
     the accuracies, `model_full.py:684-687`).
     """
     bs, L, V = logits.shape
+    gt_onehot = gt_onehot.astype(jnp.float32)  # labels may arrive as uint8
     gt_mask = _length_mask(gt_len, L)
     max_mask = _length_mask(jnp.maximum(gt_len, pred_len), L)
     min_mask = _length_mask(jnp.minimum(gt_len, pred_len), L)

@@ -22,7 +22,8 @@ from demo2program_tpu.models.metrics import sequence_metrics
 
 
 def _program_stat(cfg, logits, batch):
-    gt_onehot = jnp.transpose(batch["program"], (0, 2, 1))  # -> (bs, L, V)
+    gt_onehot = jnp.transpose(batch["program"], (0, 2, 1)).astype(
+        jnp.float32)  # -> (bs, L, V); shipped as uint8
     plen = batch["program_len"][:, 0].astype(jnp.int32)
     return sequence_metrics(logits, gt_onehot, plen, plen, "program")
 
@@ -31,7 +32,7 @@ def _per_k_stats(logits, gt_onehot, lengths, seq_type):
     """vmapped per-demo sequence metrics, averaged like the reference's
     Python loop over k. logits/gt: (bs, k, T, V); lengths: (bs, k)."""
     def one_k(lg, gt, ln):
-        return sequence_metrics(lg, gt, ln, ln, seq_type)
+        return sequence_metrics(lg, gt.astype(jnp.float32), ln, ln, seq_type)
     stats = jax.vmap(one_k, in_axes=(1, 1, 1))(
         logits, gt_onehot, lengths)
     return stats  # each leaf has leading k axis
@@ -133,7 +134,7 @@ def greedy_action_report(cfg, outputs, batch, model_name="full"):
     lens = lens.astype(jnp.int32)
 
     def one_k(lg, g, gl, pl):
-        return sequence_metrics(lg, g, gl, pl, "action")
+        return sequence_metrics(lg, g.astype(jnp.float32), gl, pl, "action")
     stats = jax.vmap(one_k, in_axes=(1, 1, 1, 1))(
         outputs["greedy_action_logits"], gt, lens,
         outputs["greedy_action_len"])

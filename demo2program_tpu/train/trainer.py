@@ -124,9 +124,15 @@ class Trainer:
                      n_dev)
         self.mesh = make_mesh(num_devices=n_dev)
         sharding = batch_sharding(self.mesh)
+        # the train step never reads the unseen-test tensors; dropping them
+        # from the train stream saves ~1/3 of the host->device traffic
+        train_drop = ("test_s_h", "test_a_h", "test_a_h_tokens", "test_per",
+                      "test_demo_len", "test_init_pos", "test_init_pos_len")
+        if args.model == "induction_baseline":
+            train_drop = ()  # induction trains ON the test-demo actions
         self.pipe_train = BatchPipeline(
             dataset_train, args.batch_size, shuffle=True,
-            seed=args.seed, sharding=sharding)
+            seed=args.seed, sharding=sharding, drop_keys=train_drop)
         # test stream shuffles like the reference's shuffle_batch test queue
         self.pipe_test = _InfiniteEval(dataset_test, args.batch_size,
                                        args.seed, sharding)

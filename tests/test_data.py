@@ -108,7 +108,9 @@ def test_pipeline_batches(tiny_dataset_dir):
     pipe = BatchPipeline(ds_train, batch_size=4, shuffle=True, seed=0)
     batch = next(pipe)
     assert batch["s_h"].shape[0] == 4
-    assert batch["program"].dtype == np.float32
+    # one-hots/demos travel as uint8; models cast on device
+    assert batch["program"].dtype == np.uint8
+    assert batch["s_h"].dtype == np.uint8
     assert batch["id"].shape == (4,)
     batch2 = next(pipe)
     assert batch2["s_h"].shape == batch["s_h"].shape
