@@ -41,6 +41,7 @@ import h5py
 import numpy as np
 
 from demo2program_tpu.envs import KarelWorld, KarelStateGenerator
+from demo2program_tpu.envs.karel import batch_to_states
 from demo2program_tpu.dsl import karel_interp, karel_parser
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
 from demo2program_tpu.dsl.karel_sampler import KarelProgramSampler
@@ -118,18 +119,10 @@ def _roll_demos(ast, sgen, cfg, num_needed, max_trials, bytecode=None,
     while len(s_h_list) < num_needed and trials < max_trials:
         chunk = min(_TRIAL_CHUNK, max_trials - trials)
         trials += chunk
-        states = [sgen.generate_single_state(h, w, cfg.wall_prob)[0]
-                  for _ in range(chunk)]
+        walls, markers0, agent0 = sgen.generate_batch(
+            chunk, h, w, cfg.wall_prob)
         if use_native:
             from demo2program_tpu import native
-            walls = np.stack([s[:, :, 4] for s in states])
-            markers0 = np.stack(
-                [np.argmax(s[:, :, 5:], axis=-1).astype(np.int8)
-                 for s in states])
-            agent0 = np.zeros((chunk, 3), np.int32)
-            for i, s in enumerate(states):
-                ys, xs, ds = np.where(s[:, :, :4])
-                agent0[i] = (ys[0], xs[0], ds[0])
             out = native.run_batch(
                 bytecode[None], walls, markers0, agent0,
                 np.zeros(chunk, np.int32), make_error=True,
@@ -148,7 +141,7 @@ def _roll_demos(ast, sgen, cfg, num_needed, max_trials, bytecode=None,
                 a_h_list.append(out["actions"][i, :L - 1].copy())
                 per_list.append(per)
         else:
-            for s0 in states:
+            for s0 in batch_to_states(walls, markers0, agent0):
                 if len(s_h_list) >= num_needed:
                     break
                 world = KarelWorld(s0, make_error=True)

