@@ -26,6 +26,7 @@ num_val, each shuffled by a fixed RandomState(123) (`dataset_karel.py:11,
 
 import os
 import os.path as osp
+import time
 
 import h5py
 import numpy as np
@@ -44,6 +45,85 @@ def _scalar(ds):
 
 _PRELOAD_LIMIT_BYTES = int(os.environ.get(
     "D2P_PRELOAD_LIMIT_BYTES", 3 * 1024 ** 3))
+_PRELOAD_CACHE = {}
+
+_COMPACT_CACHE_NAME = "compact_cache_v1.npz"
+_COMPACT_STORES = {}
+
+
+class _CompactStore:
+    """File-level store of the compact wire arrays for every item, packed as
+    a few large numpy arrays so batch assembly is vectorized fancy-indexing
+    instead of 32 python-level item loads (the 1-core host is the e2e
+    bottleneck once the wire is compact). Built once per dataset into a
+    sidecar `compact_cache_v1.npz` (partial HDF5 reads: initial frames +
+    action rows only), then memory-mapped loads take seconds."""
+
+    def __init__(self, dataset_path, h5file, max_demo_len):
+        path = osp.join(dataset_path, _COMPACT_CACHE_NAME)
+        if osp.exists(path):
+            z = np.load(path, allow_pickle=False)
+            self.arr = {k: z[k] for k in z.files}
+            self.index = {id_: i
+                          for i, id_ in enumerate(self.arr["ids"])}
+        else:
+            self._build(path, h5file, max_demo_len)
+
+    @staticmethod
+    def _compact_of(grp, max_demo_len):
+        out = {}
+        for pfx, s_key, a_key in (("", "s_h", "a_h"),
+                                  ("test_", "test_s_h", "test_a_h")):
+            first = grp[s_key][:, :1][:, 0]       # (n, h, w, 16) partial read
+            n, h, w, _ = first.shape
+            out[pfx + "wall"] = first[:, :, :, 4].astype(np.uint8)
+            out[pfx + "marker"] = np.argmax(
+                first[:, :, :, 5:], axis=-1).astype(np.uint8)
+            flat = np.argmax(first[:, :, :, :4].reshape(n, h * w * 4),
+                             axis=-1)
+            out[pfx + "agent"] = np.stack(
+                [flat // (w * 4), (flat // 4) % w, flat % 4],
+                axis=1).astype(np.uint8)
+            a_rows = grp[a_key][()]
+            a_raw = np.zeros((n, max_demo_len), np.int8)
+            a_raw[:, :a_rows.shape[1]] = a_rows
+            out[pfx + "a_raw"] = a_raw
+            out[pfx + "a_row_len"] = np.int32(a_rows.shape[1])
+            out[pfx + "demo_len"] = grp[
+                ("test_s_h_len" if pfx else "s_h_len")][()].astype(np.int16)
+        return out
+
+    def _build(self, path, h5file, max_demo_len):
+        log.info("building compact cache %s ...", path)
+        t0 = time.time()
+        ids = [k for k in h5file.keys() if k != "data_info"]
+        Lmax = max(h5file[i]["program"].shape[0] for i in ids)
+        cols = {k: [] for k in (
+            "program", "program_len", "wall", "marker", "agent", "a_raw",
+            "a_row_len", "demo_len", "test_wall", "test_marker",
+            "test_agent", "test_a_raw", "test_a_row_len", "test_demo_len")}
+        for id_ in ids:
+            grp = h5file[id_]
+            prog = grp["program"][()]
+            padded = np.zeros(Lmax, np.int32)
+            padded[:len(prog)] = prog
+            cols["program"].append(padded)
+            cols["program_len"].append(np.int32(len(prog)))
+            for k, v in self._compact_of(grp, max_demo_len).items():
+                cols[k].append(v)
+        arrs = {k: np.stack(v) for k, v in cols.items()}
+        arrs["ids"] = np.array(ids)
+        try:
+            np.savez(path, **arrs)
+            log.info("compact cache built in %.1f s (%d items)",
+                     time.time() - t0, len(ids))
+        except OSError:
+            log.warn("compact cache not writable; keeping in memory only")
+        self.arr = arrs
+        self.index = {id_: i for i, id_ in enumerate(ids)}
+
+    def __contains__(self, id_):
+        return id_ in self.index
 
 
 class _PreloadedFile:
@@ -89,11 +169,20 @@ class KarelDataset:
 
     def _maybe_preload(self, filename):
         fsize = os.path.getsize(filename)
-        if fsize <= _PRELOAD_LIMIT_BYTES:
+        if fsize > _PRELOAD_LIMIT_BYTES:
+            return self.data
+        # one preload per FILE, shared by the train/test/val split objects
+        # (create_default_splits constructs three datasets over one file)
+        key = os.path.abspath(filename)
+        if key not in _PRELOAD_CACHE:
             log.info("preloading %s (%.0f MB) into memory", filename,
                      fsize / 1e6)
-            return _PreloadedFile(self.data, self._ids)
-        return self.data
+            t0 = time.time()
+            ids = [k for k in self.data.keys() if k != "data_info"]
+            _PRELOAD_CACHE[key] = _PreloadedFile(self.data, ids)
+            log.info("preloaded %d groups in %.1f s", len(ids),
+                     time.time() - t0)
+        return _PRELOAD_CACHE[key]
 
     # -- single-example load --------------------------------------------------
     def _action_onehots(self, a_h_rows):
@@ -163,6 +252,53 @@ class KarelDataset:
             "per": per[:k].astype(np.uint8),
             "test_per": test_per.astype(np.uint8),
         }
+
+    # -- compact wire format ---------------------------------------------------
+    @property
+    def compact_store(self):
+        """Lazy file-level _CompactStore shared by all splits."""
+        key = osp.abspath(osp.join(self.dataset_path, "data.hdf5"))
+        if key not in _COMPACT_STORES:
+            _COMPACT_STORES[key] = _CompactStore(
+                self.dataset_path, self.data, self.max_demo_len)
+        return _COMPACT_STORES[key]
+
+    def get_batch_compact(self, id_list):
+        """Compact wire-format batch: token ids + initial states + raw
+        action rows only; full tensors are rebuilt on device inside the
+        jitted step (ops/reconstruct.py). Assembled by vectorized
+        fancy-indexing of the sidecar compact cache — no per-item python
+        work. Bit-identical to stacked get_data items after expansion
+        (tests/test_reconstruct.py)."""
+        cs = self.compact_store
+        a = cs.arr
+        idx = np.fromiter((cs.index[i] for i in id_list), np.int64,
+                          count=len(id_list))
+        k = self.num_k
+        L = self.max_program_len
+        return {
+            "id": np.asarray(id_list),
+            "program_tokens": a["program"][idx][:, :L],
+            "program_len": a["program_len"][idx][:, None].astype(np.float32),
+            "demo_len": a["demo_len"][idx][:, :k].astype(np.float32),
+            "test_demo_len": a["test_demo_len"][idx].astype(np.float32),
+            "c_wall": a["wall"][idx][:, :k],
+            "c_marker": a["marker"][idx][:, :k],
+            "c_agent": a["agent"][idx][:, :k],
+            "c_a_raw": a["a_raw"][idx][:, :k],
+            "c_a_row_len": a["a_row_len"][idx][:, None],
+            "test_c_wall": a["test_wall"][idx],
+            "test_c_marker": a["test_marker"][idx],
+            "test_c_agent": a["test_agent"][idx],
+            "test_c_a_raw": a["test_a_raw"][idx],
+            "test_c_a_row_len": a["test_a_row_len"][idx][:, None],
+        }
+
+    def get_data_compact(self, id_):
+        """Single compact item (tests / tools); batches use
+        get_batch_compact."""
+        batch = self.get_batch_compact([id_])
+        return {k: (v[0] if k != "id" else id_) for k, v in batch.items()}
 
     @property
     def ids(self):

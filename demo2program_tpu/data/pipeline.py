@@ -26,13 +26,17 @@ class BatchPipeline:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 num_threads=4, prefetch=4, sharding=None, drop_keys=()):
+                 num_threads=4, prefetch=4, sharding=None, drop_keys=(),
+                 compact=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.sharding = sharding
         self.drop_keys = frozenset(drop_keys)
+        # compact wire format: ship token ids + initial states only and
+        # rebuild full tensors on device (ops/reconstruct.py)
+        self._compact = compact
         self._pool = ThreadPoolExecutor(max_workers=num_threads)
         self._prefetch = prefetch
         self._queue = deque()
@@ -56,6 +60,14 @@ class BatchPipeline:
         return len(self.dataset) // self.batch_size
 
     def _load_batch(self, id_batch):
+        if self._compact:
+            # vectorized assembly: one fancy-index per key over the sidecar
+            # compact cache — no per-item python work (the 1-core host is
+            # the end-to-end bottleneck once the wire is compact)
+            batch = {k: v for k, v in
+                     self.dataset.get_batch_compact(id_batch).items()
+                     if k not in self.drop_keys}
+            return self._ship(batch)
         # items are loaded SERIALLY within a batch: h5py serializes all
         # access behind a global lock, so per-item thread fan-out only adds
         # GIL thrash (measured 5x slower). Parallelism comes from multiple
@@ -69,6 +81,9 @@ class BatchPipeline:
                 batch[key] = np.array([it[key] for it in items])
             else:
                 batch[key] = np.stack([it[key] for it in items], axis=0)
+        return self._ship(batch)
+
+    def _ship(self, batch):
         if self.sharding is not None:
             # transfer inside the prefetch worker so host->device copies
             # overlap the training step instead of blocking it

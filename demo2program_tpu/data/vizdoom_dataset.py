@@ -55,6 +55,14 @@ class VizdoomDataset(KarelDataset):
         self.s_h_c = int(_scalar(info["s_h_c"]))
         self._store = self._maybe_preload(filename)
 
+    def get_data_compact(self, id_):
+        raise NotImplementedError(
+            "ViZDoom demos are engine-rendered video, not reconstructible "
+            "from initial state + actions; use the full wire format")
+
+    def get_batch_compact(self, id_list):
+        self.get_data_compact(None)
+
     def get_data(self, id_):
         grp = self._store[id_]
         k = self.num_k

@@ -74,7 +74,7 @@ def downsize(img, h=80, w=80):
 @dataclass
 class VizdoomGeneratorConfig:
     dir_name: str = "datasets/vizdoom_dataset"
-    engine_config: str = "vizdoom_env/asset/default.cfg"
+    engine_config: str = None  # None -> the packaged assets/doomlite.cfg
     num_train: int = 10000
     num_test: int = 1000
     num_val: int = 100

@@ -23,6 +23,9 @@ pathological predictions the reference itself could not score in reasonable
 time/memory.
 """
 
+import functools
+import hashlib
+
 from demo2program_tpu.dsl import karel_ast as A
 from demo2program_tpu.dsl import karel_parser
 
@@ -120,13 +123,28 @@ def parse(program_str, max_size=DEFAULT_MAX_SIZE):
         return None, False
 
 
+@functools.lru_cache(maxsize=200_000)
+def canonical_digest(program_str, max_size=DEFAULT_MAX_SIZE):
+    """(blake2b-128 digest of the canonical form, ok) — memoized per unique
+    program string. Digest equality stands in for list equality (collision
+    odds ~2^-64 at this scale), so the 100x-unrolled expansions are built
+    ONCE per unique prediction instead of per comparison — the dominant host
+    cost in eval (reference rebuilds them per batch element per fetch,
+    `dsl_enum_program.py:209-222` via `model_full.py:713-728`)."""
+    c, ok = parse(program_str, max_size=max_size)
+    if not ok:
+        return None, False
+    h = hashlib.blake2b("\x00".join(c).encode(), digest_size=16).digest()
+    return h, True
+
+
 def programs_equal(code_a, code_b, max_size=DEFAULT_MAX_SIZE):
     """Semantic equality via canonical forms, with a fallback to exact token
     equality when an expansion exceeds max_size."""
     if code_a.split() == code_b.split():
         return True
-    ca, ok_a = parse(code_a, max_size=max_size)
-    cb, ok_b = parse(code_b, max_size=max_size)
+    da, ok_a = canonical_digest(" ".join(code_a.split()), max_size)
+    db, ok_b = canonical_digest(" ".join(code_b.split()), max_size)
     if not (ok_a and ok_b):
         return False
-    return ca == cb
+    return da == db

@@ -21,6 +21,7 @@ programs).
 """
 
 import math
+import os
 
 import numpy as np
 
@@ -105,24 +106,41 @@ class VizdoomEngineUnavailable(ImportError):
     pass
 
 
-class Vizdoom_env:
-    """Engine-backed world; requires the `vizdoom` python package (the
-    deterministic fork). Raises VizdoomEngineUnavailable otherwise."""
+DEFAULT_CONFIG = None  # resolved to the packaged doomlite.cfg below
 
-    def __init__(self, config="vizdoom_env/asset/default.cfg", verbose=False,
-                 perception_type="more_simple"):
-        try:
-            from vizdoom import DoomGame, ScreenResolution
-        except ImportError as e:
-            raise VizdoomEngineUnavailable(
-                "the 'vizdoom' package (ViZDoomDeterministic fork) is not "
-                "installed; ViZDoom dataset generation and doom-program "
-                "execution scoring need it. Karel workflows are unaffected."
-            ) from e
+
+class Vizdoom_env:
+    """Engine-backed world.
+
+    engine='auto' uses the `vizdoom` python package (the deterministic
+    ViZDoom fork) when importable and otherwise falls back to the built-in
+    deterministic software engine (envs/doomlite.py), which implements the
+    same API surface, puke-init protocol and label-buffer semantics.
+    engine='vizdoom' requires the package; engine='doomlite' forces the
+    software engine."""
+
+    def __init__(self, config=DEFAULT_CONFIG, verbose=False,
+                 perception_type="more_simple", engine="auto"):
+        DoomGame = ScreenResolution = None
+        if engine in ("auto", "vizdoom"):
+            try:
+                from vizdoom import DoomGame, ScreenResolution
+            except ImportError as e:
+                if engine == "vizdoom":
+                    raise VizdoomEngineUnavailable(
+                        "the 'vizdoom' package (ViZDoomDeterministic fork) "
+                        "is not installed; use engine='doomlite' or 'auto' "
+                        "for the built-in software engine.") from e
+        if DoomGame is None:
+            from demo2program_tpu.envs import doomlite
+            DoomGame = doomlite.DoomGame
+        if config is None:
+            config = os.path.join(os.path.dirname(__file__), "..",
+                                  "assets", "doomlite.cfg")
         self.verbose = verbose
         self.game = DoomGame()
         self.game.load_config(config)
-        if verbose:
+        if verbose and ScreenResolution is not None:
             self.game.set_window_visible(True)
             self.game.set_screen_resolution(ScreenResolution.RES_1280X960)
         self.game_variables = self.game.get_available_game_variables()

@@ -104,7 +104,10 @@ class Evaler:
     def eval_run(self):
         args = self.args
         cfg = self.cfg
-        pipe = BatchPipeline(self.dataset, args.batch_size, shuffle=False)
+        # Karel evals stream the compact wire format; demos are replayed on
+        # device for execution scoring (ops/reconstruct.py)
+        pipe = BatchPipeline(self.dataset, args.batch_size, shuffle=False,
+                             compact=args.dataset_type == "karel")
         max_steps = args.max_steps or pipe.steps_per_epoch()
 
         text_file = hdf5_file = log_file = None
@@ -264,7 +267,15 @@ class Evaler:
             except ValueError:
                 log.info("Duplicates: %s", pid)
                 continue
-            grp["program"] = np.asarray(batch["program"])[i]
+            if "program" in batch:
+                grp["program"] = np.asarray(batch["program"])[i]
+            else:  # compact wire: rebuild the one-hot host-side
+                tok = np.asarray(batch["program_tokens"])[i]
+                plen = int(np.asarray(batch["program_len"])[i, 0])
+                oh = np.zeros(
+                    (self.cfg.dim_program_token, tok.shape[0]), bool)
+                oh[tok[:plen], np.arange(plen)] = True
+                grp["program"] = oh
             grp["pred_program"] = g_tokens[i]
             grp["pred_program_len"] = g_len[i]
             grp["s_h"] = data_file[pid]["s_h"][()]

@@ -25,7 +25,7 @@ from demo2program_tpu.dsl import karel_canonical, karel_parser
 from demo2program_tpu.dsl.karel_bytecode import (
     DEFAULT_MAX_CODE_LEN, compile_batch)
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
-from demo2program_tpu.ops import vm
+from demo2program_tpu.ops import reconstruct, vm
 from demo2program_tpu.ops.grids import decode_states
 
 
@@ -69,32 +69,56 @@ class KarelScorer:
 
     # -- on-device execution accuracy ----------------------------------------
     def execution(self, pred_tokens, pred_len, is_same_seq, s_h, demo_len):
-        """Execution correctness of predicted programs against (bs, k) demos.
+        """Execution correctness of predicted programs against (bs, k) demos
+        given the full (bs, k, T, h, w, 16) state tensors.
 
         Returns (num_correct (bs,), is_correct (bs, k)).
         """
-        bs, k, T = s_h.shape[0], s_h.shape[1], s_h.shape[2]
-        h, w = self.cfg.h, self.cfg.w
+        bs, k = s_h.shape[0], s_h.shape[1]
+        dec = _decode_demo_tensors(jnp.asarray(s_h))
 
+        def flat(a):  # (bs, k, ...) -> (bs*k, ...)
+            return a.reshape((bs * k,) + a.shape[2:])
+
+        target = {
+            "wall": flat(dec["wall"][:, :, 0]),
+            "y": flat(dec["y"]), "x": flat(dec["x"]), "d": flat(dec["d"]),
+            "markers": flat(dec["markers"]),
+        }
+        init = (flat(dec["y"][:, :, 0]), flat(dec["x"][:, :, 0]),
+                flat(dec["d"][:, :, 0]), flat(dec["markers"][:, :, 0]))
+        return self._execute_against(pred_tokens, pred_len, is_same_seq,
+                                     target, init, demo_len, bs, k)
+
+    def execution_compact(self, pred_tokens, pred_len, is_same_seq, batch,
+                          test=False):
+        """Execution correctness against a COMPACT wire-format batch: the
+        target state sequences are replayed on device from initial state +
+        recorded actions (ops/reconstruct.py), so the full demo tensors
+        never exist host-side at all."""
+        pfx = "test_" if test else ""
+        rep, bs, k = (reconstruct.replay_test(batch, self.cfg) if test
+                      else reconstruct.replay_seen(batch, self.cfg))
+        init = (rep["y"][:, 0], rep["x"][:, 0], rep["d"][:, 0],
+                rep["markers"][:, 0])
+        target = {"wall": rep["wall"], "y": rep["y"], "x": rep["x"],
+                  "d": rep["d"], "markers": rep["markers"]}
+        return self._execute_against(
+            pred_tokens, pred_len, is_same_seq, target, init,
+            batch[pfx + "demo_len"], bs, k)
+
+    def _execute_against(self, pred_tokens, pred_len, is_same_seq, target,
+                         init, demo_len, bs, k):
         codes, compiled_ok = compile_batch(
             np.asarray(pred_tokens), np.asarray(pred_len), self.vocab,
             self.max_code_len)
-
-        dec = _decode_demo_tensors(jnp.asarray(s_h))
-        # flatten (bs, k) -> B
-        def flat(a):
-            return a.reshape((bs * k,) + a.shape[2:])
-
         codes_rep = np.repeat(codes, k, axis=0)  # program per demo
         out = vm.run_and_compare(
-            jnp.asarray(codes_rep),
-            flat(dec["wall"][:, :, 0]),
-            flat(dec["y"][:, :, 0]), flat(dec["x"][:, :, 0]),
-            flat(dec["d"][:, :, 0]), flat(dec["markers"][:, :, 0]),
-            flat(dec["y"]), flat(dec["x"]), flat(dec["d"]),
-            flat(dec["markers"]),
+            jnp.asarray(codes_rep), target["wall"],
+            init[0], init[1], init[2], init[3],
+            target["y"], target["x"], target["d"], target["markers"],
             jnp.asarray(demo_len, jnp.int32).reshape(bs * k),
-            make_error=self.make_error, h=h, w=w)
+            make_error=self.make_error, h=self.cfg.h, w=self.cfg.w)
 
         vm_correct = np.asarray(out["correct"]).reshape(bs, k)
         same = np.asarray(is_same_seq).astype(bool)[:, None]
@@ -133,9 +157,14 @@ class KarelScorer:
             res[f"{name}program_syntax_acc"] = float(syntax.mean())
             res[f"{name}exact_program_acc"] = float(exact.mean())
 
-            nc, per_demo = self.execution(tokens, lens, same,
-                                          np.asarray(batch["s_h"]),
-                                          np.asarray(batch["demo_len"]))
+            compact = reconstruct.is_compact(batch)
+            if compact:
+                nc, per_demo = self.execution_compact(tokens, lens, same,
+                                                      batch)
+            else:
+                nc, per_demo = self.execution(tokens, lens, same,
+                                              np.asarray(batch["s_h"]),
+                                              np.asarray(batch["demo_len"]))
             res[f"{name}program_is_correct_execution"] = per_demo
             res[f"{name}program_num_execution_correct"] = nc
             res[f"{name}program_execution_acc_hist"] = \
@@ -144,9 +173,13 @@ class KarelScorer:
             res[f"{name}program_execution_all_correct"] = float(
                 (nc == self.cfg.k).mean())
 
-            tnc, _ = self.execution(tokens, lens, same,
-                                    np.asarray(batch["test_s_h"]),
-                                    np.asarray(batch["test_demo_len"]))
+            if compact:
+                tnc, _ = self.execution_compact(tokens, lens, same, batch,
+                                                test=True)
+            else:
+                tnc, _ = self.execution(tokens, lens, same,
+                                        np.asarray(batch["test_s_h"]),
+                                        np.asarray(batch["test_demo_len"]))
             res[f"test_{name}program_num_execution_correct"] = tnc
             res[f"test_{name}program_execution_acc_hist"] = \
                 self.execution_histogram(tnc, self.cfg.test_k)

@@ -322,8 +322,14 @@ class TokenDecoder(nn.Module):
         final, (logits, tokens) = scan(self.core, carry0, step_rngs)
         return logits, tokens, final[3]
 
-    def scheduled(self, init_c, init_h, gt_tokens, sampling_prob, rng):
-        """Scheduled-sampling unroll -> logits (bs, L, token_dim)."""
+    def scheduled(self, init_c, init_h, gt_tokens, sampling_prob, rng,
+                  return_sampled=False):
+        """Scheduled-sampling unroll -> logits (bs, L, token_dim).
+
+        With return_sampled=True also returns the per-step SAMPLED token ids
+        — the reference's helper emits these as sample_id and they (not the
+        logit argmax) feed the train-time metrics
+        (`model_synthesis.py:441-447`)."""
         bs, L = gt_tokens.shape
         gt_in = self.core.embed(self._shift_gt(gt_tokens))  # (bs, L, E)
         step_rngs = jax.random.split(rng, 2 * L).reshape(L, 2)
@@ -334,7 +340,7 @@ class TokenDecoder(nn.Module):
             sampled = jax.random.categorical(
                 rngs[0], logits).astype(jnp.int32)
             do_sample = jax.random.bernoulli(rngs[1], sampling_prob, (bs,))
-            return (state, sampled, do_sample), logits
+            return (state, sampled, do_sample), (logits, sampled)
 
         scan = nn.scan(
             step,
@@ -343,7 +349,9 @@ class TokenDecoder(nn.Module):
             in_axes=(1, 0), out_axes=1)
         carry0 = ((init_c, init_h),
                   jnp.zeros(bs, jnp.int32), jnp.zeros(bs, bool))
-        _, logits = scan(self.core, carry0, gt_in, step_rngs)
+        _, (logits, sampled) = scan(self.core, carry0, gt_in, step_rngs)
+        if return_sampled:
+            return logits, sampled
         return logits
 
 

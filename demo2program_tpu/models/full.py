@@ -42,9 +42,10 @@ class FullModel(nn.Module):
             cfg.program_end_token, cfg.cell_impl, name="program_decoder")
         gt_tokens = batch["program_tokens"].astype("int32")
         if sampling_prob is not None and self.train:
-            out["pred_program_logits"] = program_decoder.scheduled(
-                enc["demo_c_summary"], enc["demo_h_summary"],
-                gt_tokens, sampling_prob, rng)
+            out["pred_program_logits"], out["pred_program_tokens"] = \
+                program_decoder.scheduled(
+                    enc["demo_c_summary"], enc["demo_h_summary"],
+                    gt_tokens, sampling_prob, rng, return_sampled=True)
         else:
             out["pred_program_logits"] = program_decoder.teacher_forced(
                 enc["demo_c_summary"], enc["demo_h_summary"], gt_tokens)

@@ -25,8 +25,9 @@ concrete defaults in ModelConfig: pixel_input=False, attn_type='luong',
 state_encoder_fc=False, concat_state_feature_direct_prediction=False,
 stack_subsequent_state=False.
 
-attn_type='luong_monotonic' is not yet implemented (reference `:645-651`);
-it raises with a clear message.
+Both attn_type variants are implemented: 'luong' and 'luong_monotonic'
+(reference `:645-656`; the monotonic energies/recursive alignment are in
+_AttnDecoderCore below, tested in tests/test_induction.py).
 """
 
 import flax.linen as nn

@@ -25,12 +25,17 @@ def _length_mask(lengths, max_len):
 
 
 def sequence_metrics(logits, gt_onehot, gt_len, pred_len,
-                     seq_type="program"):
+                     seq_type="program", pred_tokens=None):
     """Returns dict(loss, token_acc, seq_acc, is_same_seq, pred_tokens).
 
     logits/gt_onehot: (bs, L, V); gt_len/pred_len: (bs,) int32.
     For seq_type='per', only loss is meaningful (reference returns None for
     the accuracies, `model_full.py:684-687`).
+
+    pred_tokens overrides the argmax-of-logits prediction ids — used by the
+    scheduled-sampling path, where the reference reports the helper's
+    SAMPLED ids, not the logit argmax (`seq2seq_helper` sample_id flowing
+    into `model_synthesis.py:441-447`).
     """
     bs, L, V = logits.shape
     gt_onehot = gt_onehot.astype(jnp.float32)  # labels may arrive as uint8
@@ -47,7 +52,8 @@ def sequence_metrics(logits, gt_onehot, gt_len, pred_len,
     out = {"loss": loss}
     if seq_type in ("program", "action"):
         gt_am = jnp.argmax(gt_onehot, axis=-1)
-        pred_am = jnp.argmax(logits, axis=-1)
+        pred_am = (pred_tokens if pred_tokens is not None
+                   else jnp.argmax(logits, axis=-1))
         correct = (gt_am == pred_am).astype(jnp.float32)
         out["token_acc"] = (correct * min_mask).sum() / jnp.maximum(
             max_mask.sum(), 1.0)

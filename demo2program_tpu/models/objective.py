@@ -21,11 +21,12 @@ import jax.numpy as jnp
 from demo2program_tpu.models.metrics import sequence_metrics
 
 
-def _program_stat(cfg, logits, batch):
+def _program_stat(cfg, logits, batch, pred_tokens=None):
     gt_onehot = jnp.transpose(batch["program"], (0, 2, 1)).astype(
         jnp.float32)  # -> (bs, L, V); shipped as uint8
     plen = batch["program_len"][:, 0].astype(jnp.int32)
-    return sequence_metrics(logits, gt_onehot, plen, plen, "program")
+    return sequence_metrics(logits, gt_onehot, plen, plen, "program",
+                            pred_tokens=pred_tokens)
 
 
 def _per_k_stats(logits, gt_onehot, lengths, seq_type):
@@ -61,7 +62,10 @@ def compute_loss(cfg, outputs, batch, model_name):
         report["loss"] = loss
         return loss, report
 
-    prog = _program_stat(cfg, outputs["pred_program_logits"], batch)
+    # scheduled sampling: the decoder's SAMPLED ids are the prediction the
+    # reference reports, not the logit argmax (sample_id semantics)
+    prog = _program_stat(cfg, outputs["pred_program_logits"], batch,
+                         pred_tokens=outputs.get("pred_program_tokens"))
     loss = prog["loss"]
     report["program_loss"] = prog["loss"]
     report["program_token_acc"] = prog["token_acc"]

@@ -29,15 +29,17 @@ class SummarizerModel(nn.Module):
                                cfg.program_end_token, cfg.cell_impl,
                                name="program_decoder")
         gt_tokens = batch["program_tokens"].astype("int32")
+        out = {}
         if sampling_prob is not None and self.train:
-            tf_logits = decoder.scheduled(
+            tf_logits, sampled = decoder.scheduled(
                 enc["demo_c_summary"], enc["demo_h_summary"],
-                gt_tokens, sampling_prob, rng)
+                gt_tokens, sampling_prob, rng, return_sampled=True)
+            out["pred_program_tokens"] = sampled
         else:
             tf_logits = decoder.teacher_forced(
                 enc["demo_c_summary"], enc["demo_h_summary"], gt_tokens)
 
-        out = {"pred_program_logits": tf_logits}
+        out["pred_program_logits"] = tf_logits
         if include_greedy:
             from demo2program_tpu.models.synthesis import _decode_program
             g_logits, g_tokens, g_len = _decode_program(

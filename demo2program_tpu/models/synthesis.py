@@ -34,14 +34,17 @@ class SynthesisModel(nn.Module):
                                cfg.program_end_token, cfg.cell_impl,
                                name="program_decoder")
         gt_tokens = batch["program_tokens"].astype("int32")
+        out = {}
         if sampling_prob is not None and self.train:
-            tf_logits = decoder.scheduled(
-                summary_c, summary_h, gt_tokens, sampling_prob, rng)
+            tf_logits, sampled = decoder.scheduled(
+                summary_c, summary_h, gt_tokens, sampling_prob, rng,
+                return_sampled=True)
+            out["pred_program_tokens"] = sampled
         else:
             tf_logits = decoder.teacher_forced(
                 summary_c, summary_h, gt_tokens)
 
-        out = {"pred_program_logits": tf_logits}
+        out["pred_program_logits"] = tf_logits
         if include_greedy:
             g_logits, g_tokens, g_len = _decode_program(
                 decoder, summary_c, summary_h, cfg, decode_mode, rng)

@@ -65,9 +65,11 @@ def make_mesh_2d(dp, demo_par, axis_names=("data", "demo")):
 
 
 # seen-demo tensors carry (bs, k, ...) and shard on both axes; everything
-# else shards on the batch axis only
+# else shards on the batch axis only. Includes the compact wire-format keys
+# (ops/reconstruct.py) so replay/expansion also runs demo-sharded.
 _DEMO_AXIS_KEYS = ("s_h", "a_h", "a_h_tokens", "per", "demo_len",
-                   "init_pos", "init_pos_len")
+                   "init_pos", "init_pos_len",
+                   "c_wall", "c_marker", "c_agent", "c_a_raw")
 
 
 def shard_batch_2d(batch, mesh):

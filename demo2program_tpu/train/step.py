@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from demo2program_tpu.models import objective
+from demo2program_tpu.ops.reconstruct import expand_batch
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -51,6 +52,7 @@ def make_optimizer(cfg, learning_rate, lr_weight_decay=False):
 
 
 def create_train_state(model, cfg, tx, rng, example_batch):
+    example_batch = expand_batch(strip_non_tensor(example_batch), cfg)
     variables = model.init(rng, example_batch, include_greedy=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -75,6 +77,9 @@ def make_train_step(model, cfg, tx, model_name, donate=True):
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def _train_step(state, batch, rng):
+        # compact-wire batches are expanded here, inside jit, so the one-hot
+        # / state-replay rebuild fuses into the step (ops/reconstruct.py)
+        batch = expand_batch(batch, cfg)
         sp = _sampling_prob(cfg, state.step) if use_ss else None
 
         def loss_fn(params):
@@ -119,6 +124,7 @@ def make_eval_step(eval_model, cfg, model_name, decode_mode="greedy",
 
     @jax.jit
     def _eval_step(state, batch):
+        batch = expand_batch(batch, cfg)
         out = eval_model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, include_greedy=True, **kwargs)

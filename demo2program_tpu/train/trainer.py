@@ -124,18 +124,30 @@ class Trainer:
                      n_dev)
         self.mesh = make_mesh(num_devices=n_dev)
         sharding = batch_sharding(self.mesh)
+        # Karel streams use the compact wire format (token ids + initial
+        # states; ops/reconstruct.py rebuilds full tensors inside the jitted
+        # step) — ~90x fewer host->device bytes per item. ViZDoom frames are
+        # engine video and not reconstructible, so they ship whole.
+        compact = args.dataset_type == "karel"
         # the train step never reads the unseen-test tensors; dropping them
-        # from the train stream saves ~1/3 of the host->device traffic
-        train_drop = ("test_s_h", "test_a_h", "test_a_h_tokens", "test_per",
-                      "test_demo_len", "test_init_pos", "test_init_pos_len")
+        # from the train stream saves host->device traffic
+        if compact:
+            train_drop = ("test_c_wall", "test_c_marker", "test_c_agent",
+                          "test_c_a_raw", "test_c_a_row_len",
+                          "test_demo_len")
+        else:
+            train_drop = ("test_s_h", "test_a_h", "test_a_h_tokens",
+                          "test_per", "test_demo_len", "test_init_pos",
+                          "test_init_pos_len")
         if args.model == "induction_baseline":
             train_drop = ()  # induction trains ON the test-demo actions
         self.pipe_train = BatchPipeline(
             dataset_train, args.batch_size, shuffle=True,
-            seed=args.seed, sharding=sharding, drop_keys=train_drop)
+            seed=args.seed, sharding=sharding, drop_keys=train_drop,
+            compact=compact)
         # test stream shuffles like the reference's shuffle_batch test queue
         self.pipe_test = _InfiniteEval(dataset_test, args.batch_size,
-                                       args.seed, sharding)
+                                       args.seed, sharding, compact=compact)
 
         model_cls = get_model_class(args.model)
         self.model = model_cls(cfg, train=True)
@@ -164,6 +176,17 @@ class Trainer:
         log.warn("total trainable parameters: %.2fM", n_params / 1e6)
         self.metrics_file = open(
             os.path.join(self.train_dir, "metrics.jsonl"), "a")
+        # decoded-program observability (reference text summaries,
+        # `model_full.py:1188-1221`)
+        if args.dataset_type == "vizdoom":
+            from demo2program_tpu.dsl.vizdoom_vocab import VizDoomDSLVocab
+            self.vocab = VizDoomDSLVocab(
+                perception_type=dataset_train.perception_type,
+                level=dataset_train.level)
+        else:
+            self.vocab = KarelVocab()
+        self.samples_file = open(
+            os.path.join(self.train_dir, "samples.txt"), "a")
 
     # -- checkpointing --------------------------------------------------------
     def save(self):
@@ -200,6 +223,34 @@ class Trainer:
         self.metrics_file.write(json.dumps(rec) + "\n")
         self.metrics_file.flush()
 
+    def _write_samples(self, step, batch, evals, n=3):
+        """Decoded (gt, pred, greedy) program triplets per test-sample step —
+        the text-summary half of the reference's mid-training observability
+        (`model_full.py:1188-1221`); appended to <train_dir>/samples.txt and
+        one triplet echoed to the console. No-op for the induction baseline
+        (dummy program fetches, `model_induction.py:866-875`)."""
+        if not evals or "pred_tokens" not in evals:
+            return
+        gt_tokens = np.asarray(batch["program_tokens"])
+        gt_len = np.asarray(batch["program_len"])[:, 0].astype(int)
+        lines = [f"# step {step}"]
+        for i in range(min(n, gt_tokens.shape[0])):
+            gt = self.vocab.intseq2str(gt_tokens[i, :gt_len[i]])
+            pred = self.vocab.intseq2str(
+                np.asarray(evals["pred_tokens"])[i,
+                                                 :int(evals["pred_len"][i])])
+            lines.append(f"gt    : {gt}")
+            lines.append(f"pred  : {pred}")
+            if "greedy_tokens" in evals:
+                greedy = self.vocab.intseq2str(
+                    np.asarray(evals["greedy_tokens"])[
+                        i, :int(evals["greedy_len"][i])])
+                lines.append(f"greedy: {greedy}")
+        self.samples_file.write("\n".join(lines) + "\n")
+        self.samples_file.flush()
+        log.info("sample @%d | gt: %s | greedy: %s", step,
+                 lines[1][8:], lines[3][8:] if len(lines) > 3 else "-")
+
     def train(self, max_steps=1_000_000):
         args = self.args
         log.infov("Training Starts!")
@@ -231,11 +282,14 @@ class Trainer:
             if s % args.test_sample_step == 0:
                 t1 = time.time()
                 test_batch = next(self.pipe_test)
-                test_report, _ = self.eval_step(self.state, test_batch)
+                test_report, test_evals = self.eval_step(self.state,
+                                                         test_batch)
                 test_report = jax.device_get(test_report)
                 self._log_line("val", int(self.state.step), test_report,
                                time.time() - t1)
                 self._write_metrics("val", self.state.step, test_report)
+                self._write_samples(int(self.state.step), test_batch,
+                                    jax.device_get(test_evals))
             if s % args.ckpt_save_step == 0:
                 self.save()
         self.save()
@@ -245,16 +299,18 @@ class _InfiniteEval:
     """Endless shuffled eval batches (the reference's test queue also
     shuffles, `input_ops_karel.py` via shuffle_batch)."""
 
-    def __init__(self, dataset, batch_size, seed, sharding):
+    def __init__(self, dataset, batch_size, seed, sharding, compact=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.sharding = sharding
+        self.compact = compact
         self._pipe = None
 
     def __next__(self):
         if self._pipe is None:
             self._pipe = BatchPipeline(
                 self.dataset, self.batch_size, shuffle=True,
-                seed=self.seed, sharding=self.sharding, prefetch=1)
+                seed=self.seed, sharding=self.sharding, prefetch=1,
+                compact=self.compact)
         return next(self._pipe)
