@@ -206,6 +206,7 @@ class DoomGame:
     def new_episode(self):
         self._episode += 1
         self.tic = 0
+        self._screen_cache = None
         self.finished = False
         self.px, self.py, self.angle = SPAWN
         self.cooldown = 0
@@ -235,6 +236,7 @@ class DoomGame:
         if not parts or parts[0] != "puke":
             return
         sid, x, y = int(parts[1]), float(parts[2]), float(parts[3])
+        self._screen_cache = None
         if sid == PUKE_PLAYER:
             self.px, self.py = x, y
             return
@@ -261,11 +263,27 @@ class DoomGame:
         pressed = [BUTTONS[i] for i in range(min(len(vec), len(BUTTONS)))
                    if vec[i]]
         action = pressed[0] if pressed else "NONE"
-        for _ in range(tics):
+        while tics > 0:
             if self.finished:
                 return
+            # fast-forward fully-idle NONE tics (no chasing monsters, no
+            # cooldown/switch timers): world state is provably unchanged, so
+            # only the tic counter advances. NONE post-action frames are
+            # 30-40 tics per macro — this is the datagen hot path.
+            if (action == "NONE" and self.cooldown == 0
+                    and self.switch_tics == 0
+                    and not any(m.active and m.alerted
+                                for m in self.actors)):
+                skip = min(tics, self.timeout - self.tic)
+                self.tic += skip
+                tics -= skip
+                if self.tic >= self.timeout:
+                    self.finished = True
+                continue
             self._tic(action)
+            self._screen_cache = None
             self.tic += 1
+            tics -= 1
             if self.tic >= self.timeout:
                 self.finished = True
 
@@ -477,7 +495,12 @@ class DoomGame:
     def get_state(self):
         if self.finished:
             return None
-        img = self._render()
+        # world state is unchanged between renders more often than not
+        # (percept queries between actions, idle NONE frames) — cache the
+        # framebuffer until a tic/puke mutates the world
+        if self._screen_cache is None:
+            self._screen_cache = self._render()
+        img = self._screen_cache
         labels = [Label("DoomPlayer", 0, 0.0, 0.0, 0.0, 0.0,
                         self.px, self.py)]
         for m in self.actors:

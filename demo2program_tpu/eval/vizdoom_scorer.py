@@ -21,8 +21,9 @@ from demo2program_tpu.utils import log
 
 
 class VizdoomScorer:
-    def __init__(self, cfg, vocab=None,
-                 engine_config="vizdoom_env/asset/default.cfg"):
+    def __init__(self, cfg, vocab=None, engine_config=None):
+        # engine_config=None -> the packaged assets/doomlite.cfg (or a real
+        # vizdoom install's config when that engine is selected)
         self.cfg = cfg
         self.vocab = vocab or VizDoomDSLVocab(
             perception_type=cfg.perception_type, level=cfg.level or

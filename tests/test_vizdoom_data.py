@@ -1,16 +1,16 @@
-"""ViZDoom dataset loader + model-path tests using a synthetic engine-free
-dataset with the reference schema."""
-
-import os
+"""ViZDoom dataset loader + model-path tests over a REAL engine-generated
+dataset (DoomLite, envs/doomlite.py) — these fixtures replaced the round-1
+hand-rolled synthetic HDF5 once the software engine landed, so the loader,
+model and scorer are exercised against genuine engine output."""
 
 import h5py
 import numpy as np
 import pytest
 
-from demo2program_tpu.data.vizdoom_dataset import (
-    VizdoomDataset, create_vizdoom_splits)
 from demo2program_tpu.data.merge_datasets import merge
-from demo2program_tpu.dsl.vizdoom_vocab import VizDoomDSLVocab
+from demo2program_tpu.data.vizdoom_dataset import create_vizdoom_splits
+from demo2program_tpu.data.vizdoom_generator import (
+    VizdoomGeneratorConfig, generate)
 
 H = W = 32  # small frames keep the conv test cheap
 C = 3
@@ -18,77 +18,25 @@ KD, TKD = 3, 2  # demos / test demos per program
 PER = 3  # 'more_simple' percepts
 
 
-def _write_fake_vizdoom(dir_name, num_train=6, num_test=2, num_val=2,
-                        seed=0):
-    os.makedirs(dir_name, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    vocab = VizDoomDSLVocab(perception_type="more_simple")
-    code = "DEF run m( WHILE c( ISTHERE Demon c) w( ATTACK w) m)"
-    prog = np.array(vocab.str2intseq(code), np.int8)
-    num_total = num_train + num_test + num_val
-    pos_keys = ["player_pos", "demon_pos", "hellknight_pos",
-                "revenant_pos", "ammo_pos"]
-    f = h5py.File(os.path.join(dir_name, "data.hdf5"), "w")
-    ids = []
-    max_len = 6
-    for i in range(num_total):
-        T = int(rng.randint(3, max_len + 1))
-        id_ = f"no_{i}_prog_len_{len(prog)}_max_s_h_len_{T}"
-        ids.append(id_)
-        g = f.create_group(id_)
-        g["program"] = prog
-        g["s_h"] = rng.randint(0, 255, size=(KD, T, H, W, C)).astype(
-            np.int16)
-        g["s_h_len"] = np.full(KD, T, np.int16)
-        g["a_h"] = rng.randint(0, 11, size=(KD, T - 1)).astype(np.int8)
-        g["a_h_len"] = np.full(KD, T - 1, np.int16)
-        g["p_v_h"] = rng.rand(KD, T, PER) > 0.5
-        g["test_s_h"] = rng.randint(
-            0, 255, size=(TKD, T, H, W, C)).astype(np.int16)
-        g["test_s_h_len"] = np.full(TKD, T, np.int16)
-        g["test_a_h"] = rng.randint(0, 11, size=(TKD, T - 1)).astype(np.int8)
-        g["test_a_h_len"] = np.full(TKD, T - 1, np.int16)
-        g["test_p_v_h"] = rng.rand(TKD, T, PER) > 0.5
-        g["vizdoom_init_pos"] = rng.randint(
-            -480, 64, size=(KD, len(pos_keys), 5, 2)).astype(np.int32)
-        g["vizdoom_init_pos_len"] = np.full((KD, len(pos_keys)), 5, np.int32)
-        g["test_vizdoom_init_pos"] = rng.randint(
-            -480, 64, size=(TKD, len(pos_keys), 5, 2)).astype(np.int32)
-        g["test_vizdoom_init_pos_len"] = np.full(
-            (TKD, len(pos_keys)), 5, np.int32)
-    info = f.create_group("data_info")
-    info["max_demo_length"] = max_len
-    info["max_program_length"] = len(prog)
-    info["num_program_tokens"] = vocab.num_program_tokens
-    info["num_demo_per_program"] = KD
-    info["num_test_demo_per_program"] = TKD
-    info["num_action_tokens"] = vocab.num_action_tokens
-    info["num_train"] = num_train
-    info["num_test"] = num_test
-    info["num_val"] = num_val
-    info["s_h_h"] = H
-    info["s_h_w"] = W
-    info["s_h_c"] = C
-    info["percepts"] = ["ISTHERE Demon", "ISTHERE HellKnight",
-                        "ISTHERE Revenant"]
-    info["vizdoom_pos_keys"] = pos_keys
-    info["vizdoom_max_init_pos_len"] = 5
-    info["perception_type"] = "more_simple"
-    f.close()
-    with open(os.path.join(dir_name, "id.txt"), "w") as fp:
-        fp.write("\n".join(ids) + "\n")
+def _gen_real(dir_name, num_train=6, num_test=2, num_val=2, seed=11):
+    generate(VizdoomGeneratorConfig(
+        dir_name=dir_name, num_train=num_train, num_test=num_test,
+        num_val=num_val, num_demo_per_program=KD,
+        num_test_demo_per_program=TKD, width=W, height=H,
+        min_demo_length=2, max_demo_length=6,
+        perception_type="more_simple", seed=seed))
 
 
 @pytest.fixture(scope="session")
-def fake_vizdoom_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("vizdoom_fake"))
-    _write_fake_vizdoom(d)
+def real_vizdoom_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("vizdoom_real"))
+    _gen_real(d)
     return d
 
 
-def test_vizdoom_loader(fake_vizdoom_dir):
+def test_vizdoom_loader(real_vizdoom_dir):
     ds_train, ds_test, ds_val = create_vizdoom_splits(
-        fake_vizdoom_dir, num_k=2)
+        real_vizdoom_dir, num_k=2)
     assert (len(ds_train), len(ds_test), len(ds_val)) == (6, 2, 2)
     item = ds_train.get_data(ds_train.ids[0])
     T = ds_train.max_demo_len
@@ -96,23 +44,26 @@ def test_vizdoom_loader(fake_vizdoom_dir):
     assert item["test_s_h"].shape == (TKD, T, H, W, C)
     assert item["a_h"].shape == (2, T, 12)              # 11 actions + <e>
     assert item["per"].shape == (2, T, PER)
-    assert item["init_pos"].shape == (2, 5, 5, 2)
+    n_pos = item["init_pos"].shape[2]
+    assert item["init_pos"].shape == (2, 5, n_pos, 2)
     assert item["init_pos_len"].shape == (2, 5)
-    assert item["test_init_pos"].shape == (TKD, 5, 5, 2)
-    # raw pixel scale preserved
+    assert item["test_init_pos"].shape == (TKD, 5, n_pos, 2)
+    # raw pixel scale preserved (real rendered frames)
     assert item["s_h"].max() > 1.5
 
 
-def test_vizdoom_full_model_forward(fake_vizdoom_dir):
-    import jax
+def test_vizdoom_full_model_forward(real_vizdoom_dir):
     import types
-    from demo2program_tpu.train.trainer import config_from_dataset
-    from demo2program_tpu.models.full import FullModel
-    from demo2program_tpu.models import objective
-    from demo2program_tpu.data import BatchPipeline
-    from demo2program_tpu.train.step import strip_non_tensor
 
-    ds_train, _, _ = create_vizdoom_splits(fake_vizdoom_dir, num_k=2)
+    import jax
+
+    from demo2program_tpu.data import BatchPipeline
+    from demo2program_tpu.models import objective
+    from demo2program_tpu.models.full import FullModel
+    from demo2program_tpu.train.step import strip_non_tensor
+    from demo2program_tpu.train.trainer import config_from_dataset
+
+    ds_train, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
     args = types.SimpleNamespace(
         model="full", dataset_type="vizdoom", batch_size=2,
         num_lstm_cell_units=32, demo_aggregation="avgpool",
@@ -144,11 +95,42 @@ def test_vizdoom_full_model_forward(fake_vizdoom_dir):
     assert 0.0 <= scores["greedy_program_syntax_acc"] <= 1.0
 
 
-def test_merge_datasets(fake_vizdoom_dir, tmp_path):
+def test_scorer_execution_oracle(real_vizdoom_dir):
+    """Ground-truth programs replayed through the live engine must score
+    execution-correct on every demo (the doom analogue of the Karel oracle
+    sanity test) — exercises VizdoomScorer.execution end to end."""
+    import types
+
+    from demo2program_tpu.eval.vizdoom_scorer import VizdoomScorer
+    from demo2program_tpu.train.trainer import config_from_dataset
+
+    ds_train, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    args = types.SimpleNamespace(
+        model="full", dataset_type="vizdoom", batch_size=2,
+        num_lstm_cell_units=32, demo_aggregation="avgpool",
+        scheduled_sampling=False, scheduled_sampling_decay_steps=100)
+    cfg = config_from_dataset(args, ds_train)
+    scorer = VizdoomScorer(cfg, engine_config=None)
+
+    items = [ds_train.get_data(i) for i in ds_train.ids[:2]]
+    batch = {k: np.stack([it[k] for it in items]) for k in items[0]
+             if k != "id"}
+    L = batch["program_tokens"].shape[1]
+    pred_len = batch["program_len"][:, 0].astype(np.int64)
+    # pretend the gt is the prediction, with is_same_seq=0 to force real
+    # engine replay rather than the exact-match shortcut
+    nc, per_demo = scorer.execution(
+        batch["program_tokens"], pred_len, np.zeros(2),
+        batch["s_h"], batch["demo_len"],
+        batch["init_pos"], batch["init_pos_len"])
+    assert per_demo.all(), per_demo
+
+
+def test_merge_datasets(real_vizdoom_dir, tmp_path):
     d2 = str(tmp_path / "shard2")
-    _write_fake_vizdoom(d2, seed=9)
+    _gen_real(d2, seed=9)
     out = str(tmp_path / "merged")
-    merge([fake_vizdoom_dir, d2], out)
+    merge([real_vizdoom_dir, d2], out)
     ds_train, ds_test, ds_val = create_vizdoom_splits(out, num_k=2)
     assert len(ds_train) + len(ds_test) + len(ds_val) == 20
     item = ds_train.get_data(ds_train.ids[0])
