@@ -51,4 +51,9 @@ def add_train_flags(p):
                    help="capture a jax.profiler trace for N steps (written "
                         "to <train_dir>/profile)")
     p.add_argument("--profile_start", type=int, default=10)
+    p.add_argument("--sample_images", action="store_true", default=False,
+                   help="also write PNG artifacts (program pred-vs-gt "
+                        "heatmaps + rendered demo strips) per test-sample "
+                        "step, mirroring the reference's image summaries "
+                        "(model_full.py:1223-1297)")
     return p

@@ -250,6 +250,47 @@ class Trainer:
         self.samples_file.flush()
         log.info("sample @%d | gt: %s | greedy: %s", step,
                  lines[1][8:], lines[3][8:] if len(lines) > 3 else "-")
+        if getattr(self.args, "sample_images", False):
+            self._write_sample_images(step, batch, evals)
+
+    def _write_sample_images(self, step, batch, evals):
+        """PNG observability artifacts (reference image summaries,
+        `model_full.py:1223-1297`): a gt / pred / greedy program one-hot
+        heatmap strip, and the first demo rendered as a tile strip
+        (Karel only)."""
+        import cv2
+
+        out_dir = os.path.join(self.train_dir, "samples")
+        os.makedirs(out_dir, exist_ok=True)
+        V = self.cfg.dim_program_token
+        gt = np.asarray(batch["program_tokens"])[0]
+        rows = [np.eye(V, dtype=np.uint8)[gt].T * 255]
+        for key in ("pred_tokens", "greedy_tokens"):
+            if key in evals:
+                rows.append(np.eye(V, dtype=np.uint8)[
+                    np.asarray(evals[key])[0]].T * 255)
+        sep = np.full((2, rows[0].shape[1]), 128, np.uint8)
+        heat = np.concatenate(
+            sum(([r, sep] for r in rows), [])[:-1], axis=0)
+        cv2.imwrite(os.path.join(out_dir, f"step_{step}_program.png"),
+                    np.kron(heat, np.ones((3, 3), np.uint8)))
+
+        if self.args.dataset_type != "karel" or "c_wall" not in batch:
+            return
+        from demo2program_tpu.envs.karel import KarelWorld, batch_to_states
+        from demo2program_tpu.tools.karel_render import state2image
+        wall = np.asarray(batch["c_wall"])[0, :1]
+        marker = np.asarray(batch["c_marker"])[0, :1]
+        agent = np.asarray(batch["c_agent"])[0, :1]
+        actions = np.asarray(batch["c_a_raw"])[0, 0]
+        dlen = int(np.asarray(batch["demo_len"])[0, 0])
+        world = KarelWorld(batch_to_states(wall, marker, agent)[0],
+                           make_error=False)
+        for a in actions[:dlen - 1]:
+            world.state_transition(int(a))
+        strip = np.concatenate([state2image(s) for s in world.s_h], axis=1)
+        cv2.imwrite(os.path.join(out_dir, f"step_{step}_demo.png"),
+                    strip[:, :, ::-1].astype(np.uint8))  # RGB->BGR for cv2
 
     def train(self, max_steps=1_000_000):
         args = self.args
