@@ -86,12 +86,14 @@ class BatchPipeline:
     def _ship(self, batch):
         if self.sharding is not None:
             # transfer inside the prefetch worker so host->device copies
-            # overlap the training step instead of blocking it
+            # overlap the training step instead of blocking it; ONE pytree
+            # device_put (not per-key) — each call pays tunnel RTT here
             import jax
-            batch = {
-                k: (jax.device_put(v, self.sharding) if k != "id" else v)
-                for k, v in batch.items()
-            }
+            tensors = {k: v for k, v in batch.items() if k != "id"}
+            shipped = jax.device_put(tensors, self.sharding)
+            if "id" in batch:
+                shipped["id"] = batch["id"]
+            return shipped
         return batch
 
     def _ensure_prefetch(self):
