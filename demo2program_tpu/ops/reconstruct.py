@@ -237,18 +237,9 @@ def replay_test(batch, cfg):
         fold(batch["test_demo_len"]).astype(jnp.int32)), bs, tk
 
 
-def expand_batch(batch, cfg):
-    """Compact wire batch -> the full batch dict the models/objective expect.
-    No-op passthrough for full-wire batches. Runs inside jit: XLA fuses the
-    one-hot/scatter rebuild into the consuming ops."""
-    if not is_compact(batch):
-        return batch
-    out = {key: batch[key] for key in
-           ("program_tokens", "program_len", "demo_len", "test_demo_len")
-           if key in batch}
-    out["program_tokens"] = out["program_tokens"].astype(jnp.int32)
-
-    # program one-hot (bs, V, L), zero columns beyond program_len
+def _program_onehot(out, batch, cfg):
+    """program one-hot (bs, V, L), zero columns beyond program_len."""
+    out["program_tokens"] = batch["program_tokens"].astype(jnp.int32)
     tok = out["program_tokens"]
     plen = batch["program_len"][:, 0].astype(jnp.int32)
     L = tok.shape[1]
@@ -256,6 +247,42 @@ def expand_batch(batch, cfg):
     prog = jax.nn.one_hot(tok, cfg.dim_program_token,
                           dtype=jnp.float32) * tmask[..., None]
     out["program"] = jnp.transpose(prog, (0, 2, 1))
+
+
+def expand_doom_batch(batch, cfg):
+    """Device-cached ViZDoom batch -> full batch dict. Frames/percepts are
+    already device-resident (train/device_cache.py gathers them from the
+    HBM-cached dataset); only the program one-hot and the quirky action
+    supervision are rebuilt here."""
+    out = {key: batch[key] for key in
+           ("program_len", "demo_len", "test_demo_len") if key in batch}
+    _program_onehot(out, batch, cfg)
+    out["s_h"] = batch["dc_s_h"]
+    out["per"] = batch["dc_per"]
+    out["a_h"], out["a_h_tokens"] = _action_supervision(
+        batch["c_a_raw"].astype(jnp.int32),
+        batch["c_a_row_len"][:, 0].astype(jnp.int32),
+        cfg.action_space, cfg.action_space - 1)
+    if "test_c_a_raw" in batch:
+        out["test_a_h"], out["test_a_h_tokens"] = _action_supervision(
+            batch["test_c_a_raw"].astype(jnp.int32),
+            batch["test_c_a_row_len"][:, 0].astype(jnp.int32),
+            cfg.action_space, cfg.action_space - 1)
+    return out
+
+
+def expand_batch(batch, cfg):
+    """Compact wire batch -> the full batch dict the models/objective expect.
+    No-op passthrough for full-wire batches. Runs inside jit: XLA fuses the
+    one-hot/scatter rebuild into the consuming ops."""
+    if "dc_s_h" in batch:
+        return expand_doom_batch(batch, cfg)
+    if not is_compact(batch):
+        return batch
+    out = {key: batch[key] for key in
+           ("program_len", "demo_len", "test_demo_len")
+           if key in batch}
+    _program_onehot(out, batch, cfg)
 
     # seen demos: states + percepts by replay
     rep, bs, k = replay_seen(batch, cfg)

@@ -1,0 +1,112 @@
+"""HBM-resident ViZDoom training pipeline.
+
+Doom demos are engine-rendered video that cannot be reconstructed on device
+(unlike Karel, ops/reconstruct.py), so streaming them per step over this
+host's ~20 MB/s TPU tunnel costs seconds per batch (bs=32 x k=25 x 80x80x3
+frames). At dataset scale that actually matters here (<= ~11 GB as uint8),
+the TPU-native answer is to push the ENTIRE train split to HBM once and
+gather each batch on device by indices — per-step host->device traffic
+drops to a (bs,) index vector.
+
+The cached tensors use the compact dtypes (uint8 frames/percepts, int8
+action rows); `ops/reconstruct.expand_doom_batch` rebuilds one-hots inside
+the jitted train step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demo2program_tpu.utils import log
+
+# leave headroom for params/grads/optimizer + workspace on a 16 GB chip
+DEFAULT_BUDGET_BYTES = 11 * 1024 ** 3
+
+
+def estimate_cache_bytes(dataset):
+    k = dataset.num_k
+    T = dataset.max_demo_len
+    n = len(dataset)
+    h, w, c = dataset.s_h_h, dataset.s_h_w, dataset.s_h_c
+    return n * k * T * (h * w * c + 32)
+
+
+class DoomDeviceCache:
+    """Endless shuffled device-resident batches for ViZDoom training."""
+
+    def __init__(self, dataset, batch_size, seed=0, sharding=None,
+                 include_test_actions=False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self._ids = np.asarray(dataset.ids)
+        host = self._build_host_arrays(dataset, include_test_actions)
+        nbytes = sum(v.nbytes for v in host.values())
+        log.info("doom device cache: pushing %.2f GB (%d items) to HBM",
+                 nbytes / 1e9, len(dataset))
+        self._data = (jax.device_put(host, sharding) if sharding is not None
+                      else jax.device_put(host))
+        self._gather = jax.jit(
+            lambda data, idx: jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), data))
+        self._order = None
+        self._pos = 0
+
+    def _build_host_arrays(self, ds, include_test_actions):
+        k, T, L = ds.num_k, ds.max_demo_len, ds.max_program_len
+        n = len(ds)
+        first = ds._store[ds.ids[0]]
+        h, w, c = first["s_h"].shape[2:5]
+        P = first["p_v_h"].shape[2]
+        out = {
+            "dc_s_h": np.zeros((n, k, T, h, w, c), np.uint8),
+            "dc_per": np.zeros((n, k, T, P), np.uint8),
+            "c_a_raw": np.zeros((n, k, T), np.int8),
+            "c_a_row_len": np.zeros((n, 1), np.int32),
+            "demo_len": np.zeros((n, k), np.float32),
+            "program_tokens": np.zeros((n, L), np.int32),
+            "program_len": np.zeros((n, 1), np.float32),
+        }
+        if include_test_actions:
+            tk = ds.test_k
+            out["test_c_a_raw"] = np.zeros((n, tk, T), np.int8)
+            out["test_c_a_row_len"] = np.zeros((n, 1), np.int32)
+            out["test_demo_len"] = np.zeros((n, tk), np.float32)
+        for i, id_ in enumerate(ds.ids):
+            g = ds._store[id_]
+            s_h = g["s_h"][:k]
+            out["dc_s_h"][i, :, :s_h.shape[1]] = s_h.astype(np.uint8)
+            pv = g["p_v_h"][:k]
+            out["dc_per"][i, :, :pv.shape[1]] = pv.astype(np.uint8)
+            a = g["a_h"][:k]
+            out["c_a_raw"][i, :, :a.shape[1]] = a
+            out["c_a_row_len"][i, 0] = a.shape[1]
+            out["demo_len"][i] = g["s_h_len"][:k]
+            prog = g["program"][()]
+            out["program_tokens"][i, :len(prog)] = prog
+            out["program_len"][i, 0] = len(prog)
+            if include_test_actions:
+                ta = g["test_a_h"][()]
+                out["test_c_a_raw"][i, :, :ta.shape[1]] = ta
+                out["test_c_a_row_len"][i, 0] = ta.shape[1]
+                out["test_demo_len"][i] = g["test_s_h_len"][()]
+            if i and i % 2000 == 0:
+                log.info("doom device cache: read %d / %d items", i, n)
+        return out
+
+    def steps_per_epoch(self):
+        return len(self._ids) // self.batch_size
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        n = len(self._ids)
+        if self._order is None or self._pos + self.batch_size > n:
+            self._order = self.rng.permutation(n)
+            self._pos = 0
+        idx = self._order[self._pos:self._pos + self.batch_size]
+        self._pos += self.batch_size
+        batch = dict(self._gather(self._data, jnp.asarray(idx)))
+        batch["id"] = self._ids[idx]
+        return batch

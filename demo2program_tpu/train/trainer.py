@@ -141,10 +141,28 @@ class Trainer:
                           "test_init_pos_len")
         if args.model == "induction_baseline":
             train_drop = ()  # induction trains ON the test-demo actions
-        self.pipe_train = BatchPipeline(
-            dataset_train, args.batch_size, shuffle=True,
-            seed=args.seed, sharding=sharding, drop_keys=train_drop,
-            compact=compact)
+        self.pipe_train = None
+        if args.dataset_type == "vizdoom" and os.environ.get(
+                "D2P_DOOM_DEVICE_CACHE", "1") != "0":
+            from demo2program_tpu.train.device_cache import (
+                DEFAULT_BUDGET_BYTES, DoomDeviceCache, estimate_cache_bytes)
+            est = estimate_cache_bytes(dataset_train)
+            if est <= DEFAULT_BUDGET_BYTES:
+                # doom frames are engine video: cache the whole train split
+                # in HBM once, gather batches on device by indices — per-step
+                # wire traffic becomes a (bs,) index vector
+                self.pipe_train = DoomDeviceCache(
+                    dataset_train, args.batch_size, seed=args.seed,
+                    include_test_actions=(
+                        args.model == "induction_baseline"))
+            else:
+                log.warn("doom train split ~%.1f GB exceeds the HBM cache "
+                         "budget; falling back to streaming", est / 1e9)
+        if self.pipe_train is None:
+            self.pipe_train = BatchPipeline(
+                dataset_train, args.batch_size, shuffle=True,
+                seed=args.seed, sharding=sharding, drop_keys=train_drop,
+                compact=compact)
         # test stream shuffles like the reference's shuffle_batch test queue
         self.pipe_test = _InfiniteEval(dataset_test, args.batch_size,
                                        args.seed, sharding, compact=compact)

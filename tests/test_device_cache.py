@@ -1,0 +1,61 @@
+"""HBM-resident doom pipeline: the device-cached batch, after on-device
+expansion, must match the stacked full-wire loader exactly."""
+
+import types
+
+import numpy as np
+
+from demo2program_tpu.data.vizdoom_dataset import create_vizdoom_splits
+from demo2program_tpu.ops import reconstruct
+from demo2program_tpu.train.device_cache import DoomDeviceCache
+from demo2program_tpu.train.trainer import config_from_dataset
+
+from tests.test_vizdoom_data import real_vizdoom_dir  # noqa: F401 (fixture)
+
+
+def test_device_cache_matches_full_loader(real_vizdoom_dir):  # noqa: F811
+    ds, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    args = types.SimpleNamespace(
+        model="full", dataset_type="vizdoom", batch_size=2,
+        num_lstm_cell_units=16, demo_aggregation="avgpool",
+        scheduled_sampling=False, scheduled_sampling_decay_steps=10)
+    cfg = config_from_dataset(args, ds)
+    cache = DoomDeviceCache(ds, batch_size=2, seed=0,
+                            include_test_actions=True)
+    batch = next(cache)
+    ids = list(batch["id"])
+    out = reconstruct.expand_batch(
+        {k: v for k, v in batch.items() if k != "id"}, cfg)
+    items = [ds.get_data(i) for i in ids]
+    full = {k: np.stack([it[k] for it in items]) for k in items[0]
+            if k != "id"}
+    np.testing.assert_array_equal(
+        np.asarray(out["s_h"]), full["s_h"].astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(out["per"]), full["per"].astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(out["a_h"]), full["a_h"].astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(out["a_h_tokens"]), full["a_h_tokens"])
+    np.testing.assert_array_equal(
+        np.asarray(out["test_a_h"]), full["test_a_h"].astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(out["test_a_h_tokens"]), full["test_a_h_tokens"])
+    np.testing.assert_array_equal(
+        np.asarray(out["program"]).astype(bool),
+        full["program"].astype(bool))
+    np.testing.assert_array_equal(np.asarray(out["demo_len"]),
+                                  full["demo_len"])
+    np.testing.assert_array_equal(np.asarray(out["test_demo_len"]),
+                                  full["test_demo_len"])
+
+
+def test_device_cache_epochs(real_vizdoom_dir):  # noqa: F811
+    ds, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    cache = DoomDeviceCache(ds, batch_size=3, seed=1)
+    seen = set()
+    for _ in range(4):  # 2 epochs of 2 full batches over 6 items
+        b = next(cache)
+        assert b["dc_s_h"].shape[0] == 3
+        seen.update(b["id"].tolist())
+    assert seen == set(ds.ids)
