@@ -158,7 +158,13 @@ def test_engine_free_perception_math():
     assert len(vec2) == 6 and vec2[3] == "INTARGET Demon"
 
 
-def test_engine_gate_message():
+def test_engine_selection():
+    """engine='vizdoom' requires the real package (absent here and raises a
+    clear message); the default 'auto' falls back to the built-in DoomLite
+    software engine."""
+    from demo2program_tpu.envs.doomlite import DoomGame
     from demo2program_tpu.envs.vizdoom import Vizdoom_env
     with pytest.raises(VizdoomEngineUnavailable):
-        Vizdoom_env()
+        Vizdoom_env(engine="vizdoom")
+    w = Vizdoom_env()
+    assert isinstance(w.game, DoomGame)
