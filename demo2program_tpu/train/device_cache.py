@@ -13,6 +13,10 @@ action rows); `ops/reconstruct.expand_doom_batch` rebuilds one-hots inside
 the jitted train step.
 """
 
+import json
+import os
+import os.path as osp
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +44,7 @@ class DoomDeviceCache:
         self.batch_size = batch_size
         self.rng = np.random.RandomState(seed)
         self._ids = np.asarray(dataset.ids)
-        host = self._build_host_arrays(dataset, include_test_actions)
+        host = self._load_or_build(dataset, include_test_actions)
         nbytes = sum(v.nbytes for v in host.values())
         log.info("doom device cache: pushing %.2f GB (%d items) to HBM",
                  nbytes / 1e9, len(dataset))
@@ -52,8 +56,49 @@ class DoomDeviceCache:
         self._order = None
         self._pos = 0
 
-    def _build_host_arrays(self, ds, include_test_actions):
-        k, T, L = ds.num_k, ds.max_demo_len, ds.max_program_len
+    # keys whose leading demo axis is num_k-slicable at load time
+    _K_SLICED = ("dc_s_h", "dc_per", "c_a_raw", "demo_len")
+
+    def _load_or_build(self, ds, include_test_actions):
+        """Disk sidecar: the packed host arrays (built once per dataset at
+        FULL k from the HDF5's many small reads) are stored as per-key .npy
+        files and mmap-loaded by later runs — a sequential-read instead of
+        25+ minutes of random h5 access per training process. num_k slicing
+        happens at load (views of the mmap; device_put streams the pages)."""
+        cache_dir = osp.join(ds.dataset_path, "device_cache_v1")
+        meta_path = osp.join(cache_dir, "meta.json")
+        split = "".join(c for c in ds.name if c.isalnum()) or "split"
+        if not osp.exists(meta_path) or \
+                json.load(open(meta_path)).get(split) != len(ds):
+            full_k = ds.num_demo
+            arrays = self._build_host_arrays(ds, True, k=full_k)
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                for key, v in arrays.items():
+                    np.save(osp.join(cache_dir, f"{split}_{key}.npy"), v)
+                meta = (json.load(open(meta_path))
+                        if osp.exists(meta_path) else {})
+                meta[split] = len(ds)
+                json.dump(meta, open(meta_path, "w"))
+            except OSError:
+                log.warn("device cache sidecar not writable; in-memory only")
+        else:
+            arrays = {}
+            for fn in os.listdir(cache_dir):
+                if fn.startswith(split + "_") and fn.endswith(".npy"):
+                    arrays[fn[len(split) + 1:-4]] = np.load(
+                        osp.join(cache_dir, fn), mmap_mode="r")
+        k = ds.num_k
+        out = {}
+        for key, v in arrays.items():
+            if not include_test_actions and key.startswith("test_"):
+                continue
+            out[key] = v[:, :k] if key in self._K_SLICED else v
+        return out
+
+    def _build_host_arrays(self, ds, include_test_actions, k=None):
+        k = k if k is not None else ds.num_k
+        T, L = ds.max_demo_len, ds.max_program_len
         n = len(ds)
         first = ds._store[ds.ids[0]]
         h, w, c = first["s_h"].shape[2:5]
