@@ -93,7 +93,11 @@ class DoomDeviceCache:
         for key, v in arrays.items():
             if not include_test_actions and key.startswith("test_"):
                 continue
-            out[key] = v[:, :k] if key in self._K_SLICED else v
+            v = v[:, :k] if key in self._K_SLICED else v
+            # materialize mmap-backed arrays into RAM with one sequential
+            # read; pushing straight from mmap interleaves disk pages with
+            # the tunnel transfer and roughly halves the push rate
+            out[key] = np.ascontiguousarray(v)
         return out
 
     def _build_host_arrays(self, ds, include_test_actions, k=None):
