@@ -77,11 +77,14 @@ MOVE_PER_TIC = 8.0    # forward/strafe units per tic
 TURN_PER_TIC = 5.0    # degrees per tic
 FOV_DEG = 90.0
 
-# species: (height, radius, hp, speed u/tic, rgb colour)
+# species: (height, radius, hp, speed u/tic, rgb colour). Colours are
+# deliberately far apart in RGB: v1 used muted doom-ish hues and the trained
+# ifelse models confused the species after 80x80 downsizing + distance fade
+# (the dominant test error — RESULTS.md round 2); these survive both.
 SPECIES = {
-    "Demon": (56.0, 30.0, 150, 2.33, (200, 120, 140)),
-    "HellKnight": (64.0, 24.0, 500, 1.66, (180, 160, 90)),
-    "Revenant": (80.0, 20.0, 300, 2.33, (190, 190, 180)),
+    "Demon": (56.0, 30.0, 150, 2.33, (235, 40, 60)),        # red
+    "HellKnight": (64.0, 24.0, 500, 1.66, (40, 220, 60)),   # green
+    "Revenant": (80.0, 20.0, 300, 2.33, (245, 245, 235)),   # bone white
 }
 AMMO_ITEM = {"height": 16.0, "radius": 10.0, "colour": (210, 180, 60)}
 PICKUP_RADIUS = 48.0
@@ -476,7 +479,7 @@ class DoomGame:
         for d, lab, colour in projected:
             x0, x1 = int(lab.x), int(math.ceil(lab.x + lab.width))
             y0, y1 = int(lab.y), int(math.ceil(lab.y + lab.height))
-            fade = max(0.35, min(1.0, 220.0 / (d + 40.0)))
+            fade = max(0.6, min(1.0, 220.0 / (d + 40.0)))
             c = (np.array(colour, np.float32) * fade).astype(np.uint8)
             img[y0:y1, x0:x1] = c
             # simple two-tone head band so species read at small sizes

@@ -139,6 +139,37 @@ def test_frame_capture_contract():
     w.end_game()
 
 
+def test_species_distinguishable_after_downsize():
+    """The three monster species must stay far apart in RGB after the 80x80
+    INTER_AREA downsize at near AND far range — the v1 palette's muted hues
+    collapsed under distance fade and the trained ifelse models confused
+    species (the dominant test error, RESULTS.md round 2)."""
+    from demo2program_tpu.data.vizdoom_generator import downsize
+
+    def mean_sprite_colour(kind, dist):
+        g = doomlite.DoomGame()
+        g.init()
+        g.new_episode()
+        g.send_game_command("puke 20 0 100")
+        base = doomlite.PUKE_BASE[kind]
+        g.send_game_command(f"puke {base} 0 {100 + dist}")
+        st = g.get_state()
+        lab = next(l for l in st.labels if l.object_name == kind)
+        img = downsize(np.transpose(st.screen_buffer, (1, 2, 0)))
+        y = int((lab.y + lab.height / 2) * 80 / 120)
+        x = int((lab.x + lab.width / 2) * 80 / 160)
+        return img[y, x].astype(float)
+
+    for dist in (150.0, 450.0):
+        cols = {k: mean_sprite_colour(k, dist)
+                for k in ("Demon", "HellKnight", "Revenant")}
+        kinds = list(cols)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                diff = np.abs(cols[kinds[i]] - cols[kinds[j]]).max()
+                assert diff > 60, (dist, kinds[i], kinds[j], cols)
+
+
 @pytest.fixture(scope="session")
 def tiny_doom_dataset(tmp_path_factory):
     d = tmp_path_factory.mktemp("doom_tiny")
