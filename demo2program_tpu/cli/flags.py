@@ -35,6 +35,10 @@ def base_parser():
                    default=False)
     p.add_argument("--scheduled_sampling_decay_steps", type=int,
                    default=20000)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="forward/backward compute dtype; params, optimizer "
+                        "state, loss and BN running stats stay float32")
     return p
 
 

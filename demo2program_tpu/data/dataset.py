@@ -51,6 +51,13 @@ _COMPACT_CACHE_NAME = "compact_cache_v1.npz"
 _COMPACT_STORES = {}
 
 
+def _h5_fingerprint(h5file):
+    """(size, mtime_ns) of the backing HDF5 — cheap identity for sidecar
+    staleness checks."""
+    st = os.stat(h5file.filename)
+    return np.array([st.st_size, st.st_mtime_ns], np.int64)
+
+
 class _CompactStore:
     """File-level store of the compact wire arrays for every item, packed as
     a few large numpy arrays so batch assembly is vectorized fancy-indexing
@@ -61,13 +68,21 @@ class _CompactStore:
 
     def __init__(self, dataset_path, h5file, max_demo_len):
         path = osp.join(dataset_path, _COMPACT_CACHE_NAME)
+        # staleness guard: the sidecar records data.hdf5's (size, mtime_ns);
+        # a regenerated/extended dataset invalidates the cache instead of
+        # silently serving stale demos (ADVICE r2, medium)
+        self._fp = _h5_fingerprint(h5file)
         if osp.exists(path):
             z = np.load(path, allow_pickle=False)
-            self.arr = {k: z[k] for k in z.files}
-            self.index = {id_: i
-                          for i, id_ in enumerate(self.arr["ids"])}
-        else:
-            self._build(path, h5file, max_demo_len)
+            if ("h5_fingerprint" in z.files
+                    and np.array_equal(z["h5_fingerprint"], self._fp)):
+                self.arr = {k: z[k] for k in z.files}
+                self.index = {id_: i
+                              for i, id_ in enumerate(self.arr["ids"])}
+                return
+            log.warn("compact cache %s is stale (data.hdf5 changed); "
+                     "rebuilding", path)
+        self._build(path, h5file, max_demo_len)
 
     @staticmethod
     def _compact_of(grp, max_demo_len):
@@ -113,6 +128,7 @@ class _CompactStore:
                 cols[k].append(v)
         arrs = {k: np.stack(v) for k, v in cols.items()}
         arrs["ids"] = np.array(ids)
+        arrs["h5_fingerprint"] = self._fp
         try:
             np.savez(path, **arrs)
             log.info("compact cache built in %.1f s (%d items)",

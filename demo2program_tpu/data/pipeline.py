@@ -30,6 +30,13 @@ class BatchPipeline:
                  compact=False):
         self.dataset = dataset
         self.batch_size = batch_size
+        if batch_size > len(dataset.ids):
+            # with shuffle=True the id iterator would otherwise spin forever
+            # yielding no full batch (observed as a silent trainer hang on a
+            # tiny test split)
+            raise ValueError(
+                f"batch_size {batch_size} exceeds dataset size "
+                f"{len(dataset.ids)} ({getattr(dataset, 'name', '?')})")
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.sharding = sharding

@@ -112,6 +112,12 @@ def canonicalize(ast, max_size=DEFAULT_MAX_SIZE):
     return _canon_stmt(ast, max_size, [max_size])
 
 
+# eval observability (VERDICT r2 "what's weak" #6): how often the size cap
+# forces programs_equal down to exact-token comparison, which can silently
+# bias program accuracy DOWN for giant-expansion predictions
+STATS = {"compares": 0, "cap_fallbacks": 0}
+
+
 def parse(program_str, max_size=DEFAULT_MAX_SIZE):
     """API parity with `dsl_enum_program.parse(str) -> (canonical, ok)`."""
     ast, ok = karel_parser.parse(program_str)
@@ -125,26 +131,34 @@ def parse(program_str, max_size=DEFAULT_MAX_SIZE):
 
 @functools.lru_cache(maxsize=200_000)
 def canonical_digest(program_str, max_size=DEFAULT_MAX_SIZE):
-    """(blake2b-128 digest of the canonical form, ok) — memoized per unique
-    program string. Digest equality stands in for list equality (collision
-    odds ~2^-64 at this scale), so the 100x-unrolled expansions are built
-    ONCE per unique prediction instead of per comparison — the dominant host
-    cost in eval (reference rebuilds them per batch element per fetch,
-    `dsl_enum_program.py:209-222` via `model_full.py:713-728`)."""
-    c, ok = parse(program_str, max_size=max_size)
+    """(blake2b-128 digest of the canonical form, status) — memoized per
+    unique program string; status is 'ok' | 'parse' | 'cap'. Digest equality
+    stands in for list equality (collision odds ~2^-64 at this scale), so
+    the 100x-unrolled expansions are built ONCE per unique prediction
+    instead of per comparison — the dominant host cost in eval (reference
+    rebuilds them per batch element per fetch, `dsl_enum_program.py:209-222`
+    via `model_full.py:713-728`)."""
+    ast, ok = karel_parser.parse(program_str)
     if not ok:
-        return None, False
+        return None, "parse"
+    try:
+        c = canonicalize(ast, max_size=max_size)
+    except CanonicalTooLarge:
+        return None, "cap"
     h = hashlib.blake2b("\x00".join(c).encode(), digest_size=16).digest()
-    return h, True
+    return h, "ok"
 
 
 def programs_equal(code_a, code_b, max_size=DEFAULT_MAX_SIZE):
     """Semantic equality via canonical forms, with a fallback to exact token
-    equality when an expansion exceeds max_size."""
+    equality when an expansion exceeds max_size (counted in STATS)."""
+    STATS["compares"] += 1
     if code_a.split() == code_b.split():
         return True
-    da, ok_a = canonical_digest(" ".join(code_a.split()), max_size)
-    db, ok_b = canonical_digest(" ".join(code_b.split()), max_size)
-    if not (ok_a and ok_b):
+    da, st_a = canonical_digest(" ".join(code_a.split()), max_size)
+    db, st_b = canonical_digest(" ".join(code_b.split()), max_size)
+    if "cap" in (st_a, st_b):
+        STATS["cap_fallbacks"] += 1
+    if not (st_a == "ok" and st_b == "ok"):
         return False
     return da == db

@@ -276,7 +276,13 @@ class DoomGame:
             if (action == "NONE" and self.cooldown == 0
                     and self.switch_tics == 0
                     and not any(m.active and m.alerted
-                                for m in self.actors)):
+                                for m in self.actors)
+                    # _tic also performs ammo pickup: an active item in
+                    # range would be collected on the slow path, so it
+                    # blocks the fast-forward (ADVICE r2)
+                    and not any(it.active and math.hypot(
+                        it.x - self.px, it.y - self.py) < PICKUP_RADIUS
+                        for it in self.items)):
                 skip = min(tics, self.timeout - self.tic)
                 self.tic += skip
                 tics -= skip
@@ -474,17 +480,30 @@ class DoomGame:
             lab = self._label_for(actor, name, h, r)
             if lab is not None:
                 p = self._project(actor.x, actor.y, r)
-                projected.append((p[2], lab, colour))
+                projected.append((p[2], lab, name, colour))
         projected.sort(key=lambda e: -e[0])
-        for d, lab, colour in projected:
+        for d, lab, name, colour in projected:
             x0, x1 = int(lab.x), int(math.ceil(lab.x + lab.width))
             y0, y1 = int(lab.y), int(math.ceil(lab.y + lab.height))
             fade = max(0.6, min(1.0, 220.0 / (d + 40.0)))
             c = (np.array(colour, np.float32) * fade).astype(np.uint8)
             img[y0:y1, x0:x1] = c
-            # simple two-tone head band so species read at small sizes
+            # Species-specific two-tone pattern so kinds read by SHAPE as
+            # well as hue at small sizes: Demon = dark head band (top),
+            # HellKnight = dark leg band (bottom), Revenant = dark side
+            # stripes.  All patterns stay OFF the sprite centre so the
+            # centre pixel remains the pure faded species colour (locked by
+            # test_species_distinguishable_after_downsize).
+            dark = (c * 0.6).astype(np.uint8)
             band = max(1, (y1 - y0) // 5)
-            img[y0:y0 + band, x0:x1] = (c * 0.6).astype(np.uint8)
+            if name == "HellKnight":
+                img[y1 - band:y1, x0:x1] = dark
+            elif name == "Revenant":
+                sw = max(1, (x1 - x0) // 4)
+                img[y0:y1, x0:x0 + sw] = dark
+                img[y0:y1, x1 - sw:x1] = dark
+            else:  # Demon, MyAmmo
+                img[y0:y0 + band, x0:x1] = dark
 
         # selected-weapon sprite, bottom centre (render_weapon = true)
         wc = np.array(WEAPONS[self.selected][3], np.uint8)

@@ -158,6 +158,13 @@ class Evaler:
         acc_avg = {k: v / max_steps for k, v in sums.items()
                    if not k.endswith("loss")}
         hist_avg = {k: v / max_steps for k, v in hist_sums.items()}
+        # how often canonical-program comparison hit the expansion-size cap
+        # and fell back to exact-token equality (VERDICT r2: if >0 this
+        # biases program accuracy down, so it must be visible)
+        from demo2program_tpu.dsl.karel_canonical import STATS as _CSTATS
+        if _CSTATS["compares"]:
+            acc_avg["canonical_fallback_rate"] = (
+                _CSTATS["cap_fallbacks"] / _CSTATS["compares"])
         final = self._final_msg(loss_avg, acc_avg, hist_avg, t_total)
 
         if args.write_summary:

@@ -48,6 +48,10 @@ class ModelConfig:
     cell_impl: str = "xla"
     # beam width for decode_mode='beam'
     beam_width: int = 5
+    # compute dtype for forward/backward ("float32" | "bfloat16"); params,
+    # optimizer state, loss and BN running stats always stay float32
+    # (train/step.py casts around model.apply)
+    compute_dtype: str = "float32"
     # induction-baseline flags the reference reads but never defines
     # (SURVEY.md §5 config gap) — given concrete defaults here:
     pixel_input: bool = False

@@ -58,9 +58,13 @@ def _kernel(x_ref, h_ref, c_ref, w_ref, b_ref, h_out_ref, c_out_ref):
     f = zw[:, H:2 * H]
     g = zw[:, 2 * H:3 * H]
     o = zw[:, 3 * H:]
-    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_out_ref[:] = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    c_out_ref[:] = c_new
+    # gate math in f32 (zw accumulates f32 regardless of input dtype),
+    # cast on store so bf16 runs keep bf16 carries
+    c_new = (jax.nn.sigmoid(f) * c_ref[:].astype(jnp.float32)
+             + jax.nn.sigmoid(i) * jnp.tanh(g))
+    h_out_ref[:] = (jax.nn.sigmoid(o)
+                    * jnp.tanh(c_new)).astype(h_out_ref.dtype)
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
 
 
 def _pallas_forward(x, h, c, w, b, interpret):
@@ -122,6 +126,13 @@ class PallasLSTMCell(nn.Module):
         w = self.param("kernel", nn.initializers.glorot_uniform(),
                        (D + H, 4 * H))
         b = self.param("bias", nn.initializers.zeros, (4 * H,))
+        # compute dtype follows the (possibly bf16-cast) params; the carry
+        # dtype must stay EXACTLY what came in (nn.scan requires carry-type
+        # invariance), so cast in for compute and back out on return
+        c_dt, h_dt = c.dtype, h.dtype
+        x = x.astype(w.dtype)
+        h = h.astype(w.dtype)
+        c = c.astype(w.dtype)
 
         use_pallas = not self.force_jnp
         # VMEM budget check for the single-block kernel
@@ -132,7 +143,7 @@ class PallasLSTMCell(nn.Module):
 
         if not use_pallas:
             h_new, c_new = _lstm_step_ref(x, h, c, w, b)
-            return (c_new, h_new), h_new
+            return (c_new.astype(c_dt), h_new.astype(h_dt)), h_new
 
         # pad lane dims to 128 multiples (zero rows of W contribute nothing)
         Dp = _round_up(D)
@@ -156,4 +167,4 @@ class PallasLSTMCell(nn.Module):
             c_new = c_new[:, :H]
         else:
             h_new, c_new = fused_lstm_step(x, h, c, w, b, interpret)
-        return (c_new, h_new), h_new
+        return (c_new.astype(c_dt), h_new.astype(h_dt)), h_new

@@ -64,6 +64,14 @@ def create_train_state(model, cfg, tx, rng, example_batch):
     )
 
 
+def _cast_floats(tree, dtype):
+    """Cast float32 leaves to `dtype` (mixed-precision compute: params and
+    activations run in bf16 on the MXU/VPU while the stored params,
+    optimizer state and loss stay float32)."""
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree)
+
+
 def _sampling_prob(cfg, step):
     """1 - polynomial_decay(1.0 -> 0.1) of the teacher-forcing prob."""
     frac = jnp.minimum(
@@ -74,6 +82,7 @@ def _sampling_prob(cfg, step):
 
 def make_train_step(model, cfg, tx, model_name, donate=True):
     use_ss = cfg.scheduled_sampling
+    bf16 = getattr(cfg, "compute_dtype", "float32") == "bfloat16"
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def _train_step(state, batch, rng):
@@ -86,9 +95,21 @@ def make_train_step(model, cfg, tx, model_name, donate=True):
             kwargs = dict(include_greedy=False)
             if use_ss:
                 kwargs.update(sampling_prob=sp, rng=rng)
+            p, bstats, b = params, state.batch_stats, batch
+            if bf16:
+                # forward/backward in bf16 (params cast inside autodiff so
+                # grads come back float32); loss + BN running stats stay f32
+                p = _cast_floats(p, jnp.bfloat16)
+                bstats = _cast_floats(bstats, jnp.bfloat16)
+                b = _cast_floats(b, jnp.bfloat16)
             out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, mutable=["batch_stats"], **kwargs)
+                {"params": p, "batch_stats": bstats},
+                b, mutable=["batch_stats"], **kwargs)
+            if bf16:
+                out = _cast_floats(out, jnp.float32)
+                updates = jax.tree_util.tree_map(
+                    lambda a: (a.astype(jnp.float32)
+                               if a.dtype == jnp.bfloat16 else a), updates)
             loss, report = objective.compute_loss(cfg, out, batch,
                                                   model_name)
             return loss, (report, updates)
@@ -122,12 +143,21 @@ def make_eval_step(eval_model, cfg, model_name, decode_mode="greedy",
         if decode_mode == "syntax_sample":
             kwargs["rng"] = jax.random.key(decode_seed)
 
+    bf16 = getattr(cfg, "compute_dtype", "float32") == "bfloat16"
+
     @jax.jit
     def _eval_step(state, batch):
         batch = expand_batch(batch, cfg)
+        p, bstats, b = state.params, state.batch_stats, batch
+        if bf16:
+            p = _cast_floats(p, jnp.bfloat16)
+            bstats = _cast_floats(bstats, jnp.bfloat16)
+            b = _cast_floats(b, jnp.bfloat16)
         out = eval_model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch, include_greedy=True, **kwargs)
+            {"params": p, "batch_stats": bstats},
+            b, include_greedy=True, **kwargs)
+        if bf16:
+            out = _cast_floats(out, jnp.float32)
         _, report = objective.compute_loss(cfg, out, batch, model_name)
         report.update(objective.greedy_action_report(cfg, out, batch,
                                                      model_name))

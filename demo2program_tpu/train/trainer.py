@@ -48,6 +48,7 @@ def config_from_dataset(args, dataset):
             scheduled_sampling_decay_steps=(
                 args.scheduled_sampling_decay_steps),
             cell_impl=getattr(args, "cell_impl", "xla"),
+            compute_dtype=getattr(args, "compute_dtype", "float32"),
             beam_width=getattr(args, "beam_width", 5),
             dim_program_token=item["program"].shape[0],
             max_program_len=item["program"].shape[1],
@@ -78,6 +79,7 @@ def config_from_dataset(args, dataset):
         scheduled_sampling=args.scheduled_sampling,
         scheduled_sampling_decay_steps=args.scheduled_sampling_decay_steps,
         cell_impl=getattr(args, "cell_impl", "xla"),
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
         beam_width=getattr(args, "beam_width", 5),
         dim_program_token=item["program"].shape[0],
         max_program_len=item["program"].shape[1],
@@ -147,17 +149,20 @@ class Trainer:
             from demo2program_tpu.train.device_cache import (
                 DEFAULT_BUDGET_BYTES, DoomDeviceCache, estimate_cache_bytes)
             est = estimate_cache_bytes(dataset_train)
-            if est <= DEFAULT_BUDGET_BYTES:
+            if est / n_dev <= DEFAULT_BUDGET_BYTES:
                 # doom frames are engine video: cache the whole train split
-                # in HBM once, gather batches on device by indices — per-step
-                # wire traffic becomes a (bs,) index vector
+                # in HBM once (sharded over the mesh's chips), gather
+                # batches on device by indices — per-step wire traffic
+                # becomes a (bs,) index vector
                 self.pipe_train = DoomDeviceCache(
                     dataset_train, args.batch_size, seed=args.seed,
+                    mesh=self.mesh,
                     include_test_actions=(
                         args.model == "induction_baseline"))
             else:
-                log.warn("doom train split ~%.1f GB exceeds the HBM cache "
-                         "budget; falling back to streaming", est / 1e9)
+                log.warn("doom train split ~%.1f GB/chip exceeds the HBM "
+                         "cache budget; falling back to streaming",
+                         est / n_dev / 1e9)
         if self.pipe_train is None:
             self.pipe_train = BatchPipeline(
                 dataset_train, args.batch_size, shuffle=True,
@@ -186,7 +191,30 @@ class Trainer:
         self.ckpt_mgr = ocp.CheckpointManager(
             self.ckpt_dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=100))
-        if args.checkpoint:
+        # Crash auto-resume (reference Supervisor semantics,
+        # `trainer.py:123-140`): relaunching the same command into an
+        # existing train_dir restores the latest checkpoint — full state
+        # incl. opt_state and step — and continues the loop from there.
+        # Takes precedence over --checkpoint (which is a stage-warm-start,
+        # not a resume).
+        self._auto_resumed = False
+        latest = self.ckpt_mgr.latest_step()
+        if latest is not None:
+            if args.checkpoint:
+                log.warn("train_dir has checkpoints (latest step %d); "
+                         "auto-resuming from them and IGNORING "
+                         "--checkpoint %s", latest, args.checkpoint)
+            restored = self.ckpt_mgr.restore(
+                latest, args=ocp.args.StandardRestore(self.state))
+            # orbax commits the restored arrays to device 0; re-replicate
+            # over the mesh so the jitted step sees consistent placements
+            from demo2program_tpu.parallel import replicated_sharding
+            self.state = jax.device_put(restored,
+                                        replicated_sharding(self.mesh))
+            self._auto_resumed = True
+            log.infov("Auto-resumed from %s step %d (data shuffle and rng "
+                      "restart from seed)", self.ckpt_dir, latest)
+        elif args.checkpoint:
             self.restore(args.checkpoint)
 
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(
@@ -209,6 +237,8 @@ class Trainer:
     # -- checkpointing --------------------------------------------------------
     def save(self):
         step = int(self.state.step)
+        if step in self.ckpt_mgr.all_steps():
+            return  # already on disk (resume relaunch after a final save)
         self.ckpt_mgr.save(step, args=ocp.args.StandardSave(self.state))
         self.ckpt_mgr.wait_until_finished()  # orbax saves are async
         log.infov("Saved checkpoint at %d", step)
@@ -219,7 +249,9 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         restored = ckptr.restore(os.path.abspath(path),
                                  self.state)
-        self.state = restored
+        from demo2program_tpu.parallel import replicated_sharding
+        self.state = jax.device_put(restored,
+                                    replicated_sharding(self.mesh))
         log.info("Restored checkpoint from %s (step %d)", path,
                  int(self.state.step))
 
@@ -312,10 +344,26 @@ class Trainer:
 
     def train(self, max_steps=1_000_000):
         args = self.args
-        log.infov("Training Starts!")
+        # `max_steps` counts steps for THIS stage: a fresh (or warm-started)
+        # run targets state.step + max_steps and records that target in
+        # resume.json; an auto-resumed relaunch reads the target back so it
+        # finishes the original stage instead of appending max_steps more.
+        start = int(self.state.step)
+        resume_path = os.path.join(self.train_dir, "resume.json")
+        target = start + max_steps
+        if self._auto_resumed and os.path.exists(resume_path):
+            with open(resume_path) as f:
+                target = int(json.load(f)["target_step"])
+        else:
+            with open(resume_path, "w") as f:
+                json.dump({"target_step": target}, f)
+        if start >= target:
+            log.infov("Nothing to do: step %d >= target %d", start, target)
+            return
+        log.infov("Training Starts! (step %d -> %d)", start, target)
         profile_steps = getattr(args, "profile_steps", 0)
-        profile_start = getattr(args, "profile_start", 10)
-        for s in range(max_steps):
+        profile_start = start + getattr(args, "profile_start", 10)
+        for s in range(start, target):
             if profile_steps and s == profile_start:
                 # SURVEY.md §5: the reference has no tracing at all; capture
                 # a jax.profiler trace over a window of steps
@@ -349,7 +397,7 @@ class Trainer:
                 self._write_metrics("val", self.state.step, test_report)
                 self._write_samples(int(self.state.step), test_batch,
                                     jax.device_get(test_evals))
-            if s % args.ckpt_save_step == 0:
+            if s % args.ckpt_save_step == 0 and (s > start or s == 0):
                 self.save()
         self.save()
 

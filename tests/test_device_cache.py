@@ -50,6 +50,35 @@ def test_device_cache_matches_full_loader(real_vizdoom_dir):  # noqa: F811
                                   full["test_demo_len"])
 
 
+def test_device_cache_sharded_mesh(real_vizdoom_dir):  # noqa: F811
+    """Multi-chip: the split shards over the mesh's data axis (no per-chip
+    full copy) and every gathered row still corresponds to its id — incl.
+    rows served from the pad region on shards beyond the item count."""
+    import jax
+    from demo2program_tpu.parallel import make_mesh
+
+    ds, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    mesh = make_mesh()
+    n_dev = jax.device_count()
+    cache = DoomDeviceCache(ds, batch_size=n_dev, seed=0, mesh=mesh,
+                            include_test_actions=True)
+    # cached item axis is sharded, not replicated
+    shard_sizes = {s.data.shape[0]
+                   for s in cache._data["dc_s_h"].addressable_shards}
+    assert shard_sizes == {cache._per_shard}
+    for _ in range(3):
+        batch = next(cache)
+        assert batch["dc_s_h"].shape[0] == n_dev
+        for r, id_ in enumerate(batch["id"]):
+            it = ds.get_data(id_)
+            np.testing.assert_array_equal(
+                np.asarray(batch["demo_len"])[r], it["demo_len"])
+            gt = np.argmax(it["program"], axis=0)
+            L = int(it["program_len"][0])
+            np.testing.assert_array_equal(
+                np.asarray(batch["program_tokens"])[r, :L], gt[:L])
+
+
 def test_device_cache_epochs(real_vizdoom_dir):  # noqa: F811
     ds, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
     cache = DoomDeviceCache(ds, batch_size=3, seed=1)

@@ -92,6 +92,30 @@ def test_ground_truth_programs_score_perfectly(tiny_dataset_dir):  # noqa: F811
     assert (tnc == 3).all(), tnc
 
 
+def test_trainer_bf16_compute(tiny_dataset_dir, tmp_path):  # noqa: F811
+    """Mixed precision: forward/backward in bf16, params/opt/loss f32 —
+    trains to finite loss and keeps float32 parameter storage."""
+    import jax
+    import jax.numpy as jnp
+
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    args = _args(tiny_dataset_dir, tmp_path, model="full",
+                 compute_dtype="bfloat16")
+    trainer = Trainer(args, ds_train, ds_test)
+    trainer.train(max_steps=2)
+    assert int(trainer.state.step) == 2
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+    bs_leaves = jax.tree_util.tree_leaves(trainer.state.batch_stats)
+    assert all(x.dtype == jnp.float32 for x in bs_leaves)
+    batch = next(trainer.pipe_test)
+    report, _ = trainer.eval_step(trainer.state, batch)
+    assert np.isfinite(float(report["loss"]))
+
+
 def test_trainer_scheduled_sampling(tiny_dataset_dir, tmp_path):  # noqa: F811
     from demo2program_tpu.data.dataset import create_default_splits
     from demo2program_tpu.train.trainer import Trainer
@@ -103,6 +127,39 @@ def test_trainer_scheduled_sampling(tiny_dataset_dir, tmp_path):  # noqa: F811
     trainer = Trainer(args, ds_train, ds_test)
     trainer.train(max_steps=3)
     assert int(trainer.state.step) == 3
+
+
+def test_trainer_auto_resume(tiny_dataset_dir, tmp_path):  # noqa: F811
+    """Crash-resume semantics (reference Supervisor, trainer.py:123-140):
+    relaunching the same command into a train_dir with checkpoints restores
+    the latest full state and finishes the ORIGINAL stage target, ignoring
+    --checkpoint."""
+    import json
+    import os
+
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    args = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline")
+    t1 = Trainer(args, ds_train, ds_test)
+    t1.train(max_steps=2)  # "crashes" after 2 of an intended 4 steps
+    assert int(t1.state.step) == 2
+    # pretend the original launch asked for 4 steps
+    with open(os.path.join(t1.train_dir, "resume.json"), "w") as f:
+        json.dump({"target_step": 4}, f)
+
+    # relaunch: same command, plus a bogus --checkpoint that MUST be ignored
+    args2 = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline",
+                  checkpoint=str(tmp_path / "no_such_ckpt"))
+    t2 = Trainer(args2, ds_train, ds_test)
+    assert t2._auto_resumed and int(t2.state.step) == 2
+    t2.train(max_steps=4)
+    assert int(t2.state.step) == 4
+    # a third relaunch finds the stage complete and does nothing
+    t3 = Trainer(args2, ds_train, ds_test)
+    t3.train(max_steps=4)
+    assert int(t3.state.step) == 4
 
 
 def test_check_data_id(tiny_dataset_dir):  # noqa: F811
