@@ -211,6 +211,24 @@ class DoomDeviceCache:
                 log.info("doom device cache: read %d / %d items", i, n)
         return out
 
+    def set_batch_size(self, batch_size):
+        """Re-aim the cache at a new batch size (stage changes, e.g. the
+        reference's bs 32 -> 8 two-stage recipe) without re-pushing the
+        split; the jitted gather simply retraces for the new index shape."""
+        if batch_size == self.batch_size:
+            return
+        if self.n_shards > 1:
+            if batch_size % self.n_shards:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"{self.n_shards} mesh devices")
+            self._orders = [None] * self.n_shards
+            self._pos = [0] * self.n_shards
+        else:
+            self._order = None
+            self._pos = 0
+        self.batch_size = batch_size
+
     def steps_per_epoch(self):
         return len(self._ids) // self.batch_size
 

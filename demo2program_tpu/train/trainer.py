@@ -98,7 +98,8 @@ def config_from_dataset(args, dataset):
 
 
 class Trainer:
-    def __init__(self, args, dataset_train, dataset_test, cfg=None):
+    def __init__(self, args, dataset_train, dataset_test, cfg=None,
+                 pipe_train=None):
         self.args = args
         self.cfg = cfg or config_from_dataset(args, dataset_train)
         cfg = self.cfg
@@ -143,8 +144,13 @@ class Trainer:
                           "test_init_pos_len")
         if args.model == "induction_baseline":
             train_drop = ()  # induction trains ON the test-demo actions
-        self.pipe_train = None
-        if args.dataset_type == "vizdoom" and os.environ.get(
+        # A caller may hand in a ready train pipe (scripts/doom_stage_runner
+        # reuses one HBM-resident DoomDeviceCache across several training
+        # stages — the ~25 min tunnel push happens once per dataset instead
+        # of once per stage).
+        self.pipe_train = pipe_train
+        if self.pipe_train is None \
+                and args.dataset_type == "vizdoom" and os.environ.get(
                 "D2P_DOOM_DEVICE_CACHE", "1") != "0":
             from demo2program_tpu.train.device_cache import (
                 DEFAULT_BUDGET_BYTES, DoomDeviceCache, estimate_cache_bytes)

@@ -88,3 +88,38 @@ def test_device_cache_epochs(real_vizdoom_dir):  # noqa: F811
         assert b["dc_s_h"].shape[0] == 3
         seen.update(b["id"].tolist())
     assert seen == set(ds.ids)
+
+
+def test_device_cache_set_batch_size(real_vizdoom_dir):  # noqa: F811
+    """A stage change (reference bs 32 -> 8 recipe) re-aims the SAME pushed
+    cache at a new batch size — scripts/doom_stage_runner.py relies on this
+    to pay the HBM push once per dataset instead of once per stage."""
+    ds, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    cache = DoomDeviceCache(ds, batch_size=3, seed=1)
+    b3 = next(cache)
+    assert b3["dc_s_h"].shape[0] == 3
+    cache.set_batch_size(2)
+    seen = set()
+    for _ in range(6):  # 2 epochs of 3 batches over 6 items
+        b = next(cache)
+        assert b["dc_s_h"].shape[0] == 2
+        seen.update(b["id"].tolist())
+    assert seen == set(ds.ids)
+
+
+def test_stage_already_done_helper(tmp_path):
+    """trainer_cli short-circuits completed stages before any data setup."""
+    import json
+
+    from demo2program_tpu.cli.trainer_cli import _stage_already_done
+
+    d = tmp_path / "stage"
+    assert not _stage_already_done(str(d))
+    (d / "ckpt" / "500").mkdir(parents=True)
+    assert not _stage_already_done(str(d))  # no resume.json yet
+    (d / "resume.json").write_text(json.dumps({"target_step": 500}))
+    assert _stage_already_done(str(d))
+    (d / "resume.json").write_text(json.dumps({"target_step": 600}))
+    assert not _stage_already_done(str(d))
+    (d / "resume.json").write_text("garbage")
+    assert not _stage_already_done(str(d))
