@@ -11,6 +11,16 @@ import jax
 
 
 def setup():
+    # honor an explicit JAX_PLATFORMS request through the config API: the
+    # ambient axon sitecustomize force-registers the TPU backend and would
+    # otherwise override the env var, so `JAX_PLATFORMS=cpu <cli>` could
+    # silently grab the (single-tenant) TPU
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/jax_demo2program"))

@@ -36,6 +36,11 @@ def main(argv=None):
                         "to grammar-legal tokens via the on-device pushdown; "
                         "beam = on-device beam search (--beam_width)")
     p.add_argument("--beam_width", type=int, default=5)
+    p.add_argument("--execution_rerank", action="store_true", default=False,
+                   help="with --unroll_type beam: report, as the decoded "
+                        "program, the highest-scoring beam that reproduces "
+                        "all SEEN demos (execution-guided selection; uses "
+                        "no test-demo information)")
     p.add_argument("--no_write_summary", action="store_true", default=False)
     p.add_argument("--summary_file", type=str, default=None)
     args = p.parse_args(argv)

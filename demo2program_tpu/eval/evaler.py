@@ -124,6 +124,8 @@ class Evaler:
             data_file = h5py.File(
                 os.path.join(args.dataset_path, "data.hdf5"), "r")
 
+        rerank = getattr(args, "execution_rerank", False)
+        self._rerank_changed = self._rerank_total = 0
         sums, hist_sums = {}, {}
         t_total = 0.0
         for s in range(max_steps):
@@ -133,6 +135,8 @@ class Evaler:
             report = {k: np.asarray(v) for k, v in
                       jax.device_get(report).items()}
             evals = jax.device_get(evals)
+            if rerank and evals and "beam_tokens" in evals:
+                self._apply_rerank(batch, evals)
             scores = self.scorer.score_batch(batch, evals) if evals else {}
             step_time = time.time() - t0
             t_total += step_time
@@ -165,6 +169,9 @@ class Evaler:
         if _CSTATS["compares"]:
             acc_avg["canonical_fallback_rate"] = (
                 _CSTATS["cap_fallbacks"] / _CSTATS["compares"])
+        if rerank and self._rerank_total:
+            acc_avg["rerank_changed_rate"] = (
+                self._rerank_changed / self._rerank_total)
         final = self._final_msg(loss_avg, acc_avg, hist_avg, t_total)
 
         if args.write_summary:
@@ -187,6 +194,43 @@ class Evaler:
         return loss_avg, acc_avg, hist_avg
 
     # ---------------------------------------------------------------------
+    def _apply_rerank(self, batch, evals):
+        """Execution-guided beam selection (--unroll_type beam
+        --execution_rerank): re-point the greedy_* eval tensors at the
+        highest-scoring beam that reproduces all SEEN demos (scorer
+        .rerank_pick — seen demos are the model's own inputs, so this uses
+        no test information), then recompute the sequence/token stats
+        host-side for the picked programs. The reference has no
+        counterpart; greedy numbers are always reported separately."""
+        bt = np.asarray(evals["beam_tokens"])
+        bl = np.asarray(evals["beam_lengths"]).astype(np.int32)
+        bscore = np.asarray(evals["beam_scores"])
+        order = np.argsort(-bscore, axis=1, kind="stable")
+        bt = np.take_along_axis(bt, order[:, :, None], axis=1)
+        bl = np.take_along_axis(bl, order, axis=1)
+        pick = self.scorer.rerank_pick(bt, bl, batch)
+        rows = np.arange(len(pick))
+        tokens, lens = bt[rows, pick], bl[rows, pick]
+        self._rerank_changed += int((pick != 0).sum())
+        self._rerank_total += len(pick)
+
+        gt_tokens = np.asarray(batch["program_tokens"])
+        gt_len = np.asarray(batch["program_len"])[:, 0].astype(int)
+        bs = tokens.shape[0]
+        same = np.zeros(bs, np.float32)
+        tok_acc = np.zeros(bs, np.float32)
+        for i in range(bs):
+            gl, pl = int(gt_len[i]), int(lens[i])
+            m = min(gl, pl)
+            match = (tokens[i, :m] == gt_tokens[i, :m]).sum()
+            tok_acc[i] = match / max(gl, pl, 1)
+            same[i] = float(pl == gl and match == gl)
+        evals["greedy_tokens"] = tokens
+        evals["greedy_len"] = lens
+        evals["greedy_is_same_seq"] = same
+        evals["greedy_program_seq_acc"] = same.mean()
+        evals["greedy_program_token_acc"] = tok_acc.mean()
+
     def _assemble(self, report, evals, scores):
         """Split scalars into the reference's loss/acc/hist dicts with its
         metric names."""

@@ -134,6 +134,23 @@ class KarelScorer:
             hist[i] = float((num_correct == i).sum()) / len(num_correct)
         return hist
 
+    def rerank_pick(self, beam_tokens, beam_lens, batch):
+        """Execution-guided beam selection: pick, per example, the first
+        (= highest-scoring; beams arrive score-sorted) beam whose program
+        reproduces ALL seen demos — the model's own inputs, no test-demo
+        information — falling back to the best-scoring beam. The reference
+        has no counterpart (greedy only); this is the TPU framework's
+        inference-time search: each beam is verified as one batched VM call.
+        Returns pick (bs,) int."""
+        bs, K, _ = beam_tokens.shape
+        all_ok = np.zeros((bs, K), bool)
+        no_shortcut = np.zeros(bs, np.float32)
+        for j in range(K):
+            nc, _ = self.execution_compact(
+                beam_tokens[:, j], beam_lens[:, j], no_shortcut, batch)
+            all_ok[:, j] = nc == self.cfg.k
+        return np.where(all_ok.any(axis=1), all_ok.argmax(axis=1), 0)
+
     def score_batch(self, batch, evals, prefix=""):
         """Full scoring of one eval batch for both TF-path and greedy
         predictions. `evals` comes from objective.program_eval_tensors.

@@ -110,6 +110,60 @@ class VizdoomScorer:
             hist[i] = float((num_correct == i).sum()) / len(num_correct)
         return hist
 
+    def rerank_pick(self, beam_tokens, beam_lens, batch):
+        """Execution-guided beam selection against the SEEN demos (the
+        model's inputs — no test information): per example, the first
+        (= highest-scoring; beams arrive score-sorted) beam that reproduces
+        every seen demo wins; fall back to the best-scoring beam. Early
+        exits on the first mismatching demo/beam keep the engine cost close
+        to one verification pass. Returns pick (bs,) int."""
+        from cv2 import INTER_AREA, resize
+        cfg = self.cfg
+        s_h = np.asarray(batch["s_h"])
+        demo_len = np.asarray(batch["demo_len"])
+        init_pos = np.asarray(batch["init_pos"])
+        init_pos_len = np.asarray(batch["init_pos_len"])
+        bs, K, _ = beam_tokens.shape
+        k = s_h.shape[1]
+        world = self._get_world()
+        pos_keys = list(cfg.vizdoom_pos_keys)
+        h, w = cfg.h, cfg.w
+        pick = np.zeros(bs, np.int64)
+        for i in range(bs):
+            for j in range(K):
+                p_str = self.vocab.intseq2str(
+                    beam_tokens[i, j, :int(beam_lens[i, j])])
+                ast, ok = vizdoom_parser.parse(p_str)
+                if not ok:
+                    continue
+                good = True
+                for d in range(k):
+                    init_dict = {}
+                    for p, key in enumerate(pos_keys):
+                        n_pos = int(init_pos_len[i, d, p])
+                        init_dict[key] = np.squeeze(
+                            init_pos[i, d, p, :n_pos])
+                    world.new_episode(init_dict)
+                    _, success = vizdoom_interp.execute(ast, world)
+                    if not success:
+                        good = False
+                        break
+                    frames = [resize(s, (h, w), interpolation=INTER_AREA)
+                              if s.shape[:2] != (h, w) else s
+                              for s in world.s_h]
+                    if len(frames) != int(demo_len[i, d]):
+                        good = False
+                        break
+                    target = s_h[i, d, :len(frames)]
+                    if not (np.stack(frames, 0).astype(target.dtype)
+                            == target).all():
+                        good = False
+                        break
+                if good:
+                    pick[i] = j
+                    break
+        return pick
+
     def score_batch(self, batch, evals, skip_execution=False):
         """Same contract as KarelScorer.score_batch. `skip_execution=True`
         scores syntax/canonical only (no engine needed)."""

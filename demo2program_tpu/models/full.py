@@ -72,12 +72,12 @@ class FullModel(nn.Module):
 
         if include_greedy:
             from demo2program_tpu.models.synthesis import _decode_program
-            g_logits, g_tokens, g_len = _decode_program(
+            g_logits, g_tokens, g_len, extras = _decode_program(
                 program_decoder, enc["demo_c_summary"],
                 enc["demo_h_summary"], cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
-                       greedy_program_len=g_len)
+                       greedy_program_len=g_len, **extras)
             ga_logits, ga_tokens, ga_len = action_decoder.greedy(
                 a_c, a_h, cfg.max_demo_len)
             out.update(

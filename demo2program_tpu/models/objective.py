@@ -122,6 +122,9 @@ def program_eval_tensors(cfg, outputs, batch):
             "greedy_program_token_acc": g["token_acc"],
             "greedy_program_seq_acc": g["seq_acc"],
         })
+    for k in ("beam_tokens", "beam_lengths", "beam_scores"):
+        if k in outputs:  # full beam set for evaler execution-reranking
+            res[k] = outputs[k]
     return res
 
 

@@ -42,10 +42,10 @@ class SummarizerModel(nn.Module):
         out["pred_program_logits"] = tf_logits
         if include_greedy:
             from demo2program_tpu.models.synthesis import _decode_program
-            g_logits, g_tokens, g_len = _decode_program(
+            g_logits, g_tokens, g_len, extras = _decode_program(
                 decoder, enc["demo_c_summary"], enc["demo_h_summary"],
                 cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
-                       greedy_program_len=g_len)
+                       greedy_program_len=g_len, **extras)
         return out

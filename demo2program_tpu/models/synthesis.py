@@ -46,28 +46,34 @@ class SynthesisModel(nn.Module):
 
         out["pred_program_logits"] = tf_logits
         if include_greedy:
-            g_logits, g_tokens, g_len = _decode_program(
+            g_logits, g_tokens, g_len, extras = _decode_program(
                 decoder, summary_c, summary_h, cfg, decode_mode, rng)
             out.update(greedy_program_logits=g_logits,
                        greedy_program_tokens=g_tokens,
-                       greedy_program_len=g_len)
+                       greedy_program_len=g_len, **extras)
         return out
 
 
 def _decode_program(decoder, init_c, init_h, cfg, decode_mode, rng):
-    """greedy | syntax_greedy | syntax_sample program decoding
+    """greedy | beam | syntax_greedy | syntax_sample program decoding
     (`model_synthesis.py:384-397` exposes the syntax-constrained unrolls;
-    they are karel-only there too)."""
+    they are karel-only there too). Returns (logits, tokens, lengths,
+    extras); extras carries the full beam set for decode_mode='beam' so the
+    evaler can execution-rerank candidates against the seen demos."""
     if decode_mode == "greedy":
-        return decoder.greedy(init_c, init_h, cfg.max_program_len)
+        return decoder.greedy(init_c, init_h, cfg.max_program_len) + ({},)
     if decode_mode == "beam":
         import jax
-        tokens, lengths, _ = decoder.beam(
+        tokens, lengths, beams = decoder.beam(
             init_c, init_h, cfg.max_program_len, cfg.beam_width)
         # indicator "logits" so downstream argmax-based metrics see the
         # beam's tokens (beam search has no per-step distribution to report)
         logits = jax.nn.one_hot(tokens, cfg.dim_program_token)
-        return logits, tokens, lengths
+        return logits, tokens, lengths, {
+            "beam_tokens": beams["tokens"],      # (bs, K, L)
+            "beam_lengths": beams["lengths"],    # (bs, K)
+            "beam_scores": beams["scores"],      # (bs, K) log-prob sums
+        }
     if decode_mode in ("syntax_greedy", "syntax_sample"):
         if cfg.dataset_type != "karel":
             raise NotImplementedError(
@@ -76,5 +82,6 @@ def _decode_program(decoder, init_c, init_h, cfg, decode_mode, rng):
         from demo2program_tpu.dsl.karel_syntax import jnp_tables
         return decoder.greedy_constrained(
             init_c, init_h, cfg.max_program_len, jnp_tables(),
-            sample_rng=rng if decode_mode == "syntax_sample" else None)
+            sample_rng=rng if decode_mode == "syntax_sample" else None) \
+            + ({},)
     raise ValueError(f"unknown decode_mode {decode_mode!r}")

@@ -6,6 +6,7 @@ import numpy as np
 from demo2program_tpu.dsl import karel_parser
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
 from demo2program_tpu.models.synthesis import SynthesisModel
+from tests.test_data import tiny_dataset_dir  # noqa: F401
 from tests.test_models import tiny_cfg, random_batch, BS, L
 
 
@@ -70,3 +71,57 @@ def test_beam_lengths_and_tokens_consistent():
         assert 1 <= lens[b] <= L
         if lens[b] < L:
             assert toks[b, lens[b] - 1] == end
+
+
+def test_execution_rerank_picks_correct_beam(tiny_dataset_dir):  # noqa: F811
+    """KarelScorer.rerank_pick: given a beam set where the ground-truth
+    program is NOT the best-scoring beam, execution-guided selection must
+    end up with a program that reproduces every seen demo."""
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.data import BatchPipeline
+    from demo2program_tpu.eval.scorer import KarelScorer
+    from demo2program_tpu.train.trainer import config_from_dataset
+    import types
+
+    dataset_dir = tiny_dataset_dir
+    _, ds_test, _ = create_default_splits(dataset_dir, num_k=3)
+    args = types.SimpleNamespace(
+        model="synthesis_baseline", dataset_type="karel",
+        dataset_path=dataset_dir, num_k=3, batch_size=4, seed=0,
+        encoder_rnn_type="lstm", num_lstm_cell_units=32,
+        demo_aggregation="avgpool", scheduled_sampling=False,
+        scheduled_sampling_decay_steps=20000)
+    cfg = config_from_dataset(args, ds_test)
+    vocab = KarelVocab()
+    scorer = KarelScorer(cfg, vocab)
+
+    pipe = BatchPipeline(ds_test, 4, shuffle=False, compact=True)
+    batch = next(pipe)
+    gt_tokens = np.asarray(batch["program_tokens"])
+    gt_len = np.asarray(batch["program_len"])[:, 0].astype(np.int32)
+    bs, Lp = gt_tokens.shape
+
+    wrong = np.array(vocab.str2intseq("DEF run m( turnLeft m)"),
+                     dtype=gt_tokens.dtype)
+    K = 3
+    beam_tokens = np.zeros((bs, K, Lp), gt_tokens.dtype)
+    beam_lens = np.zeros((bs, K), np.int32)
+    # beam 0 (best score): a wrong-but-valid program; beam 1: the gt
+    # program; beam 2: garbage that does not parse
+    beam_tokens[:, 0, :len(wrong)] = wrong
+    beam_lens[:, 0] = len(wrong)
+    beam_tokens[:, 1] = gt_tokens
+    beam_lens[:, 1] = gt_len
+    beam_lens[:, 2] = 2
+    pick = scorer.rerank_pick(beam_tokens, beam_lens, batch)
+
+    rows = np.arange(bs)
+    picked_tok = beam_tokens[rows, pick]
+    picked_len = beam_lens[rows, pick]
+    nc, _ = scorer.execution_compact(
+        picked_tok, picked_len, np.zeros(bs, np.float32), batch)
+    assert (nc == cfg.k).all(), (pick, nc)
+    # the gt beam must win wherever the wrong program fails
+    nc0, _ = scorer.execution_compact(
+        beam_tokens[:, 0], beam_lens[:, 0], np.zeros(bs, np.float32), batch)
+    assert (pick[nc0 != cfg.k] == 1).all()

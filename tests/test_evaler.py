@@ -72,3 +72,51 @@ def test_evaler_end_to_end(tiny_dataset_dir, tmp_path):  # noqa: F811
         pid = list(f.keys())[0]
         assert f[pid]["s_h"].shape[-1] == 16
         assert "pred_program" in f[pid]
+
+
+def test_evaler_beam_execution_rerank(tiny_dataset_dir, tmp_path):  # noqa: F811
+    """Evaler with --unroll_type beam --execution_rerank: runs end to end,
+    reports rerank_changed_rate, and the reranked programs' seen-demo
+    execution is at least as good as what plain beam-0 would score."""
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+    from demo2program_tpu.eval.evaler import Evaler
+    from tests.test_train_e2e import _args
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    targs = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline",
+                  batch_size=4)
+    trainer = Trainer(targs, ds_train, ds_test)
+    trainer.train(max_steps=2)
+    trainer.save()
+    step = int(trainer.state.step)
+    ckpt = os.path.join(trainer.ckpt_dir, str(step), "default")
+
+    def eargs(**kw):
+        ns = types.SimpleNamespace(
+            debug=False, prefix="e", model="synthesis_baseline",
+            dataset_type="karel", dataset_path=tiny_dataset_dir,
+            checkpoint=ckpt, num_k=3, batch_size=4, seed=0,
+            encoder_rnn_type="lstm", num_lstm_cell_units=32,
+            demo_aggregation="avgpool", scheduled_sampling=False,
+            scheduled_sampling_decay_steps=20000,
+            dataset_split="test", train_dir="",
+            output_dir=str(tmp_path / "out_beam"),
+            max_steps=1, no_loss=False, pred_program=False,
+            result_data=False, result_data_path="", id_list=None,
+            unseen_test=False, quiet=True, no_write_summary=True,
+            write_summary=False, summary_file=None,
+            unroll_type="beam", beam_width=3)
+        for k, v in kw.items():
+            setattr(ns, k, v)
+        return ns
+
+    _, acc_beam, hist_beam = Evaler(eargs(), ds_test).eval_run()
+    _, acc_rr, hist_rr = Evaler(
+        eargs(execution_rerank=True), ds_test).eval_run()
+    assert "rerank_changed_rate" in acc_rr
+    # seen-demo execution all-correct can only improve under rerank: every
+    # changed pick is verified against all seen demos before being chosen
+    seen_beam = hist_beam["greedy_program_execution_acc_hist"][-1]
+    seen_rr = hist_rr["greedy_program_execution_acc_hist"][-1]
+    assert seen_rr >= seen_beam - 1e-6
