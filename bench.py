@@ -20,10 +20,16 @@ Prints exactly one JSON line; `value` is the END-TO-END demos/s/chip.
 
 import json
 import os
+import sys
 import time
 
-import jax
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from demo2program_tpu.cli._jax_setup import setup as _jax_platform_setup
+
+_jax_platform_setup()  # honors JAX_PLATFORMS=cpu (CPU smoke runs) + cache
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
 
 BASELINE_DEMOS_PER_SEC = 16.878 * 10  # reference README.md:96, k=10
 
