@@ -23,6 +23,12 @@ def make_lstm_cell(units, impl="xla"):
     if impl == "pallas":
         from demo2program_tpu.ops.pallas_lstm import PallasLSTMCell
         return PallasLSTMCell(units)
+    if impl == "pallas_jnp":
+        # same parameter layout as 'pallas' (one fused (D+H,4H) kernel) but
+        # pure-jnp math: evaluates pallas-trained checkpoints off-TPU
+        # without the interpret-mode slowdown
+        from demo2program_tpu.ops.pallas_lstm import PallasLSTMCell
+        return PallasLSTMCell(units, force_jnp=True)
     if impl == "xla":
         return nn.OptimizedLSTMCell(units)
     raise ValueError(f"unknown cell impl {impl!r}")
