@@ -1,31 +1,26 @@
 #!/bin/bash
-# Main (non-ifelse) ViZDoom runs on the merged shard dataset. k=15 keeps the
-# HBM-resident train cache inside the device budget on a single v5e chip
-# (the reference trains at k=25 on a 505 GB dataset; this is a reduced-scale
-# capability demonstration, documented in RESULTS.md).
+# Main (non-ifelse) ViZDoom suite on the merged shard dataset, run through
+# the single-process stage runner so the HBM-resident train cache is built
+# and pushed ONCE for all stages (scripts/doom_stage_runner.py).
+#
+# k=15 keeps the cache inside the single-chip HBM budget (the reference
+# trains at k=25 on a 505 GB dataset; this is a reduced-scale capability
+# demonstration, documented in RESULTS.md). Stages auto-resume; completed
+# stages (train + non-empty eval) are skipped on relaunch.
 set -x
 cd /root/repo
-DS=datasets/doom_main
-COMMON="--dataset_type vizdoom --dataset_path $DS --num_k 15 --cell_impl pallas"
-EV="python -m demo2program_tpu.cli.evaler_cli $COMMON --quiet --pred_program"
+python scripts/doom_stage_runner.py \
+    --dataset_path datasets/doom_main --num_k 15 \
+    --stage model=full,bs=32,steps=25000,dir=train_dir/doom_main_full_s1,eval=0 \
+    --stage model=full,bs=8,steps=15000,dir=train_dir/doom_main_full_s2,warm=train_dir/doom_main_full_s1/ckpt/25000/default \
+    --stage model=synthesis_baseline,bs=32,steps=25000,dir=train_dir/doom_main_synthesis \
+    --stage model=induction_baseline,bs=32,steps=25000,dir=train_dir/doom_main_induction
 
-python -m demo2program_tpu.cli.trainer_cli $COMMON --model full \
-    --batch_size 32 --max_steps 15000 --lr_weight_decay \
-    --train_dir train_dir/doom_main_full_s1 --ckpt_save_step 2500 \
-    --test_sample_step 500 --log_step 100
-python -m demo2program_tpu.cli.trainer_cli $COMMON --model full \
-    --batch_size 8 --max_steps 10000 --lr_weight_decay \
-    --checkpoint train_dir/doom_main_full_s1/ckpt/15000/default \
-    --train_dir train_dir/doom_main_full_s2 --ckpt_save_step 2500 \
-    --test_sample_step 500 --log_step 100
-$EV --model full --train_dir train_dir/doom_main_full_s2 \
-    --output_dir train_dir/doom_main_full_s2/eval
-
-python -m demo2program_tpu.cli.trainer_cli $COMMON \
-    --model synthesis_baseline --batch_size 32 --max_steps 15000 \
-    --lr_weight_decay --train_dir train_dir/doom_main_synthesis \
-    --ckpt_save_step 2500 --test_sample_step 500 --log_step 100
-$EV --model synthesis_baseline --train_dir train_dir/doom_main_synthesis \
-    --output_dir train_dir/doom_main_synthesis/eval
-
+# Inference-time search on top of the trained full model (RESULTS.md):
+python -m demo2program_tpu.cli.evaler_cli \
+    --dataset_type vizdoom --dataset_path datasets/doom_main --num_k 15 \
+    --cell_impl pallas --model full --train_dir train_dir/doom_main_full_s2 \
+    --output_dir train_dir/doom_main_full_s2/eval_rerank \
+    --pred_program --quiet --unroll_type beam --beam_width 5 \
+    --execution_rerank
 echo "DOOM MAIN SUITE DONE"
