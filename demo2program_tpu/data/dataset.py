@@ -24,6 +24,7 @@ num_val, each shuffled by a fixed RandomState(123) (`dataset_karel.py:11,
 143-160`) so runs are comparable with the reference.
 """
 
+import json
 import os
 import os.path as osp
 import time
@@ -343,6 +344,18 @@ def all_ids(dataset_path, rng_seed=_SPLIT_RNG_SEED):
         num_train = int(_scalar(f["data_info"]["num_train"]))
         num_test = int(_scalar(f["data_info"]["num_test"]))
         num_val = int(_scalar(f["data_info"]["num_val"]))
+    # Optional per-directory override: a `splits.json` with
+    # {"num_train", "num_test", "num_val"} re-partitions id.txt without
+    # touching data.hdf5. Lets a "subset view" dir (symlinked data.hdf5 +
+    # reordered id.txt) train on fewer programs while keeping the original
+    # held-out test ids — used to trade train-split size against num_k
+    # under the single-chip HBM device-cache budget (train/device_cache.py).
+    sp = osp.join(dataset_path, "splits.json")
+    if osp.exists(sp):
+        ov = json.load(open(sp))
+        num_train = int(ov.get("num_train", num_train))
+        num_test = int(ov.get("num_test", num_test))
+        num_val = int(ov.get("num_val", num_val))
     with open(osp.join(dataset_path, "id.txt")) as fp:
         ids_total = [s.strip() for s in fp.readlines() if s.strip()]
 

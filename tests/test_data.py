@@ -119,3 +119,32 @@ def test_pipeline_batches(tiny_dataset_dir):
     pipe_eval = BatchPipeline(ds_train, batch_size=5, shuffle=False)
     batches = list(pipe_eval)
     assert len(batches) == 12 // 5
+
+
+def test_splits_json_override(tiny_dataset_dir, tmp_path):
+    """A splits.json in the dataset dir re-partitions id.txt (subset-view
+    mechanism for trading train-split size against num_k under the HBM
+    device-cache budget)."""
+    import json
+    import os
+
+    from demo2program_tpu.data.dataset import all_ids
+
+    tr0, te0, va0 = all_ids(tiny_dataset_dir)
+    view = tmp_path / "subset_view"
+    view.mkdir()
+    os.symlink(os.path.join(tiny_dataset_dir, "data.hdf5"),
+               view / "data.hdf5")
+    # reorder id.txt: 6 train ids first, then the ORIGINAL test ids, then
+    # the original val ids (surplus train ids dropped from every split)
+    with open(os.path.join(tiny_dataset_dir, "id.txt")) as f:
+        ids = [s.strip() for s in f if s.strip()]
+    keep_train = [i for i in ids[:12]][:6]
+    (view / "id.txt").write_text(
+        "\n".join(keep_train + ids[12:16] + ids[16:20]) + "\n")
+    (view / "splits.json").write_text(
+        json.dumps({"num_train": 6, "num_test": 4, "num_val": 4}))
+    tr, te, va = all_ids(str(view))
+    assert len(tr) == 6 and set(tr) < set(tr0)
+    assert sorted(te) == sorted(te0) and sorted(va) == sorted(va0)
+    assert not (set(tr) & set(te)) and not (set(tr) & set(va))
