@@ -41,6 +41,12 @@ def main(argv=None):
                         "program, the highest-scoring beam that reproduces "
                         "all SEEN demos (execution-guided selection; uses "
                         "no test-demo information)")
+    p.add_argument("--rerank_k", type=int, default=0,
+                   help="verify reranked beams against this many stored "
+                        "seen demos instead of --num_k (vizdoom only; the "
+                        "model still conditions on num_k demos — the extra "
+                        "demos are part of the same task instance and carry "
+                        "no test-demo information). 0 = use num_k")
     p.add_argument("--no_write_summary", action="store_true", default=False)
     p.add_argument("--summary_file", type=str, default=None)
     args = p.parse_args(argv)

@@ -208,7 +208,12 @@ class Evaler:
         order = np.argsort(-bscore, axis=1, kind="stable")
         bt = np.take_along_axis(bt, order[:, :, None], axis=1)
         bl = np.take_along_axis(bl, order, axis=1)
-        pick = self.scorer.rerank_pick(bt, bl, batch)
+        rerank_k = int(getattr(self.args, "rerank_k", 0) or 0)
+        if rerank_k > self.cfg.k and self.args.dataset_type == "vizdoom":
+            pick = self.scorer.rerank_pick(
+                bt, bl, self._full_k_rerank_arrays(batch, rerank_k))
+        else:
+            pick = self.scorer.rerank_pick(bt, bl, batch)
         rows = np.arange(len(pick))
         tokens, lens = bt[rows, pick], bl[rows, pick]
         self._rerank_changed += int((pick != 0).sum())
@@ -230,6 +235,32 @@ class Evaler:
         evals["greedy_is_same_seq"] = same
         evals["greedy_program_seq_acc"] = same.mean()
         evals["greedy_program_token_acc"] = tok_acc.mean()
+
+    def _full_k_rerank_arrays(self, batch, rk):
+        """--rerank_k: re-read the batch rows' SEEN demos from the dataset
+        store at rk > num_k demos (doom HBM budgets force small train-time
+        num_k; the stored extra seen demos of the same task instance make a
+        stronger execution-verification set, still using no test-demo
+        information). Returns the 4 arrays VizdoomScorer.rerank_pick reads."""
+        ds = self.dataset
+        rk = min(rk, ds.num_demo)
+        s_h, dl, ip, ipl = [], [], [], []
+        for id_ in batch["id"]:
+            grp = ds._store[str(id_)]
+            demo = grp["s_h"][()][:rk]
+            pad = np.zeros([rk, ds.max_demo_len] + list(demo.shape[2:]),
+                           demo.dtype)
+            pad[:, :demo.shape[1]] = demo
+            s_h.append(pad.astype(np.uint8))
+            dl.append(grp["s_h_len"][()][:rk].astype(np.float32))
+            pos = grp["vizdoom_init_pos"][()][:rk]
+            ppad = np.zeros([rk, pos.shape[1],
+                             ds.vizdoom_max_init_pos_len, 2], pos.dtype)
+            ppad[:, :, :pos.shape[2], :] = pos
+            ip.append(ppad.astype(np.int32))
+            ipl.append(grp["vizdoom_init_pos_len"][()][:rk].astype(np.int32))
+        return {"s_h": np.stack(s_h), "demo_len": np.stack(dl),
+                "init_pos": np.stack(ip), "init_pos_len": np.stack(ipl)}
 
     def _assemble(self, report, evals, scores):
         """Split scalars into the reference's loss/acc/hist dicts with its

@@ -34,5 +34,5 @@ python -m demo2program_tpu.cli.evaler_cli \
     --cell_impl pallas --model full --train_dir train_dir/doom_main5k_full_s2 \
     --output_dir train_dir/doom_main5k_full_s2/eval_rerank \
     --pred_program --quiet --unroll_type beam --beam_width 5 \
-    --execution_rerank
+    --execution_rerank --rerank_k 25
 echo "DOOM MAIN K15 SUBSET SUITE DONE"

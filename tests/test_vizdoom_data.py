@@ -135,3 +135,44 @@ def test_merge_datasets(real_vizdoom_dir, tmp_path):
     assert len(ds_train) + len(ds_test) + len(ds_val) == 20
     item = ds_train.get_data(ds_train.ids[0])
     assert item["s_h"].shape[0] == 2
+
+
+def test_full_k_rerank_arrays_and_pick(real_vizdoom_dir):
+    """--rerank_k: Evaler._full_k_rerank_arrays re-reads the batch rows'
+    seen demos at full stored k (> num_k), and VizdoomScorer.rerank_pick
+    over those arrays rejects a wrong beam that the gt beam survives."""
+    import types
+
+    from demo2program_tpu.eval.evaler import Evaler
+    from demo2program_tpu.eval.vizdoom_scorer import VizdoomScorer
+    from demo2program_tpu.train.trainer import config_from_dataset
+
+    ds_train, _, _ = create_vizdoom_splits(real_vizdoom_dir, num_k=2)
+    args = types.SimpleNamespace(
+        model="full", dataset_type="vizdoom", batch_size=2,
+        num_lstm_cell_units=32, demo_aggregation="avgpool",
+        scheduled_sampling=False, scheduled_sampling_decay_steps=100)
+    cfg = config_from_dataset(args, ds_train)
+    items = [ds_train.get_data(i) for i in ds_train.ids[:2]]
+    batch = {k: (np.stack([it[k] for it in items]) if k != "id"
+                 else [it[k] for it in items]) for k in items[0]}
+
+    stub = types.SimpleNamespace(dataset=ds_train)
+    aux = Evaler._full_k_rerank_arrays(stub, batch, 99)
+    # capped at the stored demo count, and the first num_k rows must agree
+    # with the sliced loader view
+    assert aux["s_h"].shape[1] == KD
+    assert aux["init_pos"].shape[1] == KD
+    np.testing.assert_array_equal(aux["s_h"][:, :2], batch["s_h"])
+    np.testing.assert_array_equal(aux["demo_len"][:, :2], batch["demo_len"])
+
+    # beam 0 = the OTHER example's program (wrong), beam 1 = gt; full-k
+    # engine verification must reject beam 0 and settle on the gt beam
+    bt = np.stack([np.stack([batch["program_tokens"][1 - i],
+                             batch["program_tokens"][i]])
+                   for i in range(2)])
+    bl = np.stack([[int(batch["program_len"][1 - i, 0]),
+                    int(batch["program_len"][i, 0])]
+                   for i in range(2)]).astype(np.int32)
+    pick = VizdoomScorer(cfg).rerank_pick(bt, bl, aux)
+    assert (pick == 1).all(), pick
