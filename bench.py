@@ -121,13 +121,35 @@ def main():
     # 1.5-2x run-to-run with tunnel state (VERDICT r2 "what's weak" #1)
     reps, iters = 5, 30
 
+    # step-only is measured with CHAIN steps fused into ONE device call
+    # (fori_loop over the step): at ~1 ms/step, per-step Python dispatch on
+    # the 1-core host is the same order as the step itself, so a dispatch
+    # loop measures host load, not the compiled-compute ceiling
+    CHAIN = 32
+    sharded_t = strip_non_tensor(sharded)
+
+    def _make_chain(step_fn):
+        return jax.jit(lambda s, b, r: jax.lax.fori_loop(
+            0, CHAIN, lambda i, st: step_fn(st, b, r)[0], s))
+
+    def _hard_sync(st):
+        # device->host fetch of a live param slice: unlike
+        # block_until_ready (observed returning early through the axon
+        # tunnel), the bytes cannot arrive before the steps that produced
+        # them have run
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return np.asarray(leaf).ravel()[0]
+
+    chain_step = _make_chain(train_step)
+    state = chain_step(state, sharded_t, rng)  # compile
+    _hard_sync(state)
+
     def _time_steps():
         nonlocal state
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, report = train_step(state, sharded, rng)
-        jax.block_until_ready(report["loss"])
-        return (time.perf_counter() - t0) / iters
+        state = chain_step(state, sharded_t, rng)
+        _hard_sync(state)
+        return (time.perf_counter() - t0) / CHAIN
 
     dts = sorted(_time_steps() for _ in range(reps))
     dt_step = dts[len(dts) // 2]
@@ -140,15 +162,15 @@ def main():
     cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
     model_bf = FullModel(cfg_bf, train=True)
     step_bf = make_train_step(model_bf, cfg_bf, tx, "full", donate=False)
-    state, report = step_bf(state, sharded, rng)  # compile
-    jax.block_until_ready(report["loss"])
+    chain_bf = _make_chain(step_bf)
+    state = chain_bf(state, sharded_t, rng)  # compile
+    _hard_sync(state)
     bf_dts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            state, report = step_bf(state, sharded, rng)
-        jax.block_until_ready(report["loss"])
-        bf_dts.append((time.perf_counter() - t0) / iters)
+        state = chain_bf(state, sharded_t, rng)
+        _hard_sync(state)
+        bf_dts.append((time.perf_counter() - t0) / CHAIN)
     bf_dts.sort()
     dt_bf16 = bf_dts[len(bf_dts) // 2]
     bf16_demos = bs * cfg.k / dt_bf16 / n_chips
@@ -223,6 +245,13 @@ def main():
                              if achieved and peak else None),
         "mfu_bf16_step": (round(flops_per_step / dt_bf16 / peak, 4)
                           if flops_per_step and peak else None),
+        # an MFU above 1.0 is physically impossible: it means the timing
+        # sync failed (tunnel anomaly) — flag it so a bogus step-only
+        # number can never be read as real
+        "step_timing_anomaly": bool(
+            flops_per_step and peak
+            and (flops_per_step / dt_step / peak > 1.0
+                 or flops_per_step / dt_bf16 / peak > 1.0)),
     }
     print(json.dumps(out))
 
