@@ -369,6 +369,11 @@ class Trainer:
         log.infov("Training Starts! (step %d -> %d)", start, target)
         profile_steps = getattr(args, "profile_steps", 0)
         profile_start = start + getattr(args, "profile_start", 10)
+        # jitted steps dispatch asynchronously: per-iteration wall time is
+        # near zero except at log steps, where device_get drains the whole
+        # window's device backlog — so sec/batch is computed over the window
+        # (steps since the previous log sync), not the last iteration
+        win_t, win_s = time.time(), start - 1
         for s in range(start, target):
             if profile_steps and s == profile_start:
                 # SURVEY.md §5: the reference has no tracing at all; capture
@@ -389,8 +394,10 @@ class Trainer:
             if s % args.log_step == 0:
                 report = jax.device_get(report)
                 report["sec_data_wait"] = t_data
+                now = time.time()
                 self._log_line("train", int(self.state.step), report,
-                               time.time() - t0)
+                               (now - win_t) / max(s - win_s, 1))
+                win_t, win_s = now, s
                 self._write_metrics("train", self.state.step, report)
             if s % args.test_sample_step == 0:
                 t1 = time.time()
@@ -403,8 +410,10 @@ class Trainer:
                 self._write_metrics("val", self.state.step, test_report)
                 self._write_samples(int(self.state.step), test_batch,
                                     jax.device_get(test_evals))
+                win_t, win_s = time.time(), s  # keep eval out of the window
             if s % args.ckpt_save_step == 0 and (s > start or s == 0):
                 self.save()
+                win_t, win_s = time.time(), s
         self.save()
 
 
