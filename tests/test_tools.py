@@ -105,3 +105,33 @@ def test_visualize_data_noninteractive(tiny_dataset_dir, capsys):  # noqa: F811
     out = capsys.readouterr().out
     assert "program: DEF run m(" in out
     assert "initial state:" in out
+
+
+def test_doom_error_analysis(tmp_path):
+    from demo2program_tpu.tools.doom_error_analysis import classify, main
+
+    gt = "DEF run m( IF c( ISTHERE Revenant c) i( MOVE_LEFT i) m)".split()
+    species = [t if t != "Revenant" else "Demon" for t in gt]
+    predicate = [t if t != "ISTHERE" else "INTARGET" for t in gt]
+    structural = [t if t != "MOVE_LEFT" else "ATTACK" for t in gt]
+    mixed = [t if t != "Revenant" else "Demon" for t in predicate]
+    assert classify(gt, gt) == "exact"
+    assert classify(gt, species) == "species_only"
+    assert classify(gt, predicate) == "predicate_only"
+    assert classify(gt, structural) == "structural"
+    assert classify(gt, mixed) == "percept_mixed"
+    assert classify(gt, gt[:-2]) == "structural"  # length mismatch
+
+    dump = tmp_path / "out_1_test.txt"
+    dump.write_text(
+        f"[id: a]\ngt: {' '.join(gt)}\npred: {' '.join(gt)}\n"
+        f"greedy: {' '.join(species)}\n"
+        f"[id: b]\ngt: {' '.join(gt)}\npred(error): {' '.join(structural)}\n"
+        f"greedy(error): {' '.join(structural)}\n")
+    out = main(["--dump", str(dump)])
+    assert out["n"] == 2 and out["exact"] == 0
+    assert out["of_wrong"]["species_only"]["count"] == 1
+    assert out["of_wrong"]["structural"]["count"] == 1
+    assert out["exact_or_species_only"] == 0.5
+    out_pred = main(["--dump", str(dump), "--decode", "pred"])
+    assert out_pred["exact"] == 1
