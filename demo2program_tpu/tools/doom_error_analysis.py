@@ -35,7 +35,19 @@ import json
 import os
 import re
 
-from demo2program_tpu.dsl.vizdoom_defs import (
+# pure host-side analysis: pin any lazy JAX backend init in this process to
+# CPU BEFORE the package import below pulls jax in — the TPU behind the
+# axon tunnel is single-tenant, and a stray client can wedge a concurrently
+# running training process
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+try:
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+except Exception:  # noqa: BLE001 - jax absence is fine for this tool
+    pass
+
+from demo2program_tpu.dsl.vizdoom_defs import (  # noqa: E402
     ACTION_LIST, MERGE_DISTANCE_VOCAB, MERGE_HORIZONTAL_VOCAB, MONSTER_LIST)
 
 MONSTERS = set(MONSTER_LIST)
