@@ -98,7 +98,9 @@ def main():
     rtt = []
     for _ in range(10):
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(np.zeros(8, np.float32)))
+        # full round trip: host->device put, then fetch the bytes back
+        # (block_until_ready alone can return early through the tunnel)
+        np.asarray(jax.device_put(np.zeros(8, np.float32)))
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1e3)
 
@@ -201,14 +203,17 @@ def main():
         e_state = jax.device_put(e_state, replicated_sharding(mesh))
         e_step = make_train_step(e_model, e_cfg, tx, "full", donate=False)
         e_state, rep = e_step(e_state, eb, rng)  # compile
-        jax.block_until_ready(rep["loss"])
+        float(np.asarray(rep["loss"]))
         e_iters = 30
         e_dts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(e_iters):
                 e_state, rep = e_step(e_state, next(pipe), rng)
-            jax.block_until_ready(rep["loss"])
+            # hard sync: an actual device->host byte fetch — unlike
+            # block_until_ready, which has been observed returning early
+            # through the axon tunnel (would inflate the e2e number)
+            float(np.asarray(rep["loss"]))
             e_dts.append((time.perf_counter() - t0) / e_iters)
         e_dts.sort()
         dt_e2e = e_dts[len(e_dts) // 2]
