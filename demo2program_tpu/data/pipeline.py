@@ -66,6 +66,21 @@ class BatchPipeline:
     def steps_per_epoch(self):
         return len(self.dataset) // self.batch_size
 
+    def fast_forward(self, n):
+        """Skip the next `n` batches without loading them (exact resume:
+        a relaunched trainer replays the id stream past the batches the
+        dead run already consumed). Prefetched-but-unconsumed futures count
+        as drawn — they are discarded first."""
+        with self._lock:
+            while self._queue and n > 0:
+                self._queue.popleft().cancel()
+                n -= 1
+            for _ in range(n):
+                try:
+                    next(self._id_iter)
+                except StopIteration:
+                    break
+
     def _load_batch(self, id_batch):
         if self._compact:
             # vectorized assembly: one fancy-index per key over the sidecar

@@ -125,6 +125,11 @@ def program_eval_tensors(cfg, outputs, batch):
     for k in ("beam_tokens", "beam_lengths", "beam_scores"):
         if k in outputs:  # full beam set for evaler execution-reranking
             res[k] = outputs[k]
+    if "pred_per_logits" in outputs:
+        # per-step perception-head probabilities (bs, k, T, P) — feeds the
+        # perception-map image summaries (reference
+        # `model_full.py:1223-1297` observability parity)
+        res["pred_per"] = jax.nn.sigmoid(outputs["pred_per_logits"])
     return res
 
 

@@ -80,11 +80,14 @@ def _sampling_prob(cfg, step):
     return 1.0 - sample_prob
 
 
-def make_train_step(model, cfg, tx, model_name, donate=True):
+def make_step_fn(model, cfg, tx, model_name):
+    """Pure (state, batch, rng) -> (state, report) step body — the single
+    source of truth for the update rule. `make_train_step` jits it for the
+    streaming per-step path; `make_chunked_train_step` scans it for the
+    HBM-cache path (many steps per dispatch)."""
     use_ss = cfg.scheduled_sampling
     bf16 = getattr(cfg, "compute_dtype", "float32") == "bfloat16"
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def _train_step(state, batch, rng):
         # compact-wire batches are expanded here, inside jit, so the one-hot
         # / state-replay rebuild fuses into the step (ops/reconstruct.py)
@@ -126,10 +129,70 @@ def make_train_step(model, cfg, tx, model_name, donate=True):
         report["grad_norm"] = optax.global_norm(grads)
         return new_state, report
 
+    return _train_step
+
+
+def make_train_step(model, cfg, tx, model_name, donate=True):
+    _train_step = jax.jit(
+        make_step_fn(model, cfg, tx, model_name),
+        donate_argnums=(0,) if donate else ())
+
     def train_step(state, batch, rng):
         return _train_step(state, strip_non_tensor(batch), rng)
 
     return train_step
+
+
+def make_chunked_train_step(model, cfg, tx, model_name, n_items, batch_size,
+                            chunk, sharding=None):
+    """`chunk` train steps in ONE jitted dispatch over an HBM-resident split.
+
+    The streaming path pays a host->device transfer (and through this host's
+    tunnel, a ~300 ms RTT pipeline) every step; with the whole train split in
+    HBM (train/device_cache.py) the TPU-native loop needs NO per-step host
+    work at all. Batch selection moves on device and is a PURE FUNCTION of
+    (data_key, step): epoch e uses jax.random.permutation(fold_in(data_key,
+    e)) and step s takes rows [s_in_e*bs, (s_in_e+1)*bs) of it — the same
+    epoch-shuffled-without-replacement semantics as BatchPipeline, and a
+    killed-and-resumed run replays the identical batch sequence by
+    construction (exact resume; the reference's Supervisor restart revisits
+    early batches instead).
+
+    Returns jitted (state, data, data_key, base_key) -> (state, reports)
+    where reports is the per-step report dict stacked over the chunk and
+    per-step model rng is fold_in(base_key, step).
+    """
+    step_fn = make_step_fn(model, cfg, tx, model_name)
+    steps_per_epoch = n_items // batch_size
+    if steps_per_epoch < 1:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds split size {n_items}")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunked(state, data, data_key, base_key):
+        def body(carry, _):
+            state = carry
+            step = state.step
+            epoch = step // steps_per_epoch
+            s_in_e = step % steps_per_epoch
+            perm = jax.random.permutation(
+                jax.random.fold_in(data_key, epoch), n_items)
+            idx = jax.lax.dynamic_slice(perm, (s_in_e * batch_size,),
+                                        (batch_size,))
+            batch = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, idx, axis=0), data)
+            if sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch,
+                    jax.tree_util.tree_map(lambda _: sharding, batch))
+            new_state, report = step_fn(state, batch,
+                                        jax.random.fold_in(base_key, step))
+            return new_state, report
+
+        state, reports = jax.lax.scan(body, state, xs=None, length=chunk)
+        return state, reports
+
+    return chunked
 
 
 def make_eval_step(eval_model, cfg, model_name, decode_mode="greedy",

@@ -149,6 +149,17 @@ class Trainer:
         # stages — the ~25 min tunnel push happens once per dataset instead
         # of once per stage).
         self.pipe_train = pipe_train
+        self.karel_cache = None
+        if self.pipe_train is None and compact and os.environ.get(
+                "D2P_KAREL_DEVICE_CACHE", "1") != "0":
+            # Karel compact split is tens of MB — HBM-cache it replicated
+            # and run the CHUNKED train loop (many steps per dispatch, batch
+            # sampling on device; train/step.py make_chunked_train_step).
+            # No per-step host->device traffic at all.
+            from demo2program_tpu.train.device_cache import KarelDeviceCache
+            self.karel_cache = KarelDeviceCache(
+                dataset_train, mesh=self.mesh,
+                include_test=(args.model == "induction_baseline"))
         if self.pipe_train is None \
                 and args.dataset_type == "vizdoom" and os.environ.get(
                 "D2P_DOOM_DEVICE_CACHE", "1") != "0":
@@ -169,7 +180,7 @@ class Trainer:
                 log.warn("doom train split ~%.1f GB/chip exceeds the HBM "
                          "cache budget; falling back to streaming",
                          est / n_dev / 1e9)
-        if self.pipe_train is None:
+        if self.pipe_train is None and self.karel_cache is None:
             self.pipe_train = BatchPipeline(
                 dataset_train, args.batch_size, shuffle=True,
                 seed=args.seed, sharding=sharding, drop_keys=train_drop,
@@ -184,13 +195,21 @@ class Trainer:
         self.tx = make_optimizer(cfg, args.learning_rate,
                                  args.lr_weight_decay)
         rng = jax.random.key(args.seed)
-        example = next(self.pipe_train)
+        if self.karel_cache is not None:
+            example = self.karel_cache.example_batch(args.batch_size)
+            self._chunk_fns = {}  # chunk length -> jitted scan-of-steps
+            self._batch_sharding = sharding
+        else:
+            example = next(self.pipe_train)
         self.state = create_train_state(self.model, cfg, self.tx, rng,
                                         example)
         self._first_batch = example
         self.train_step = make_train_step(self.model, cfg, self.tx,
                                           args.model)
         self.eval_step = make_eval_step(self.eval_model, cfg, args.model)
+        # per-step model rng is fold_in(base, step) — a pure function of the
+        # step index, so a killed-and-resumed run sees the identical rng
+        # stream (exact resume; split-chains would restart from the seed)
         self.rng = rng
 
         self.ckpt_dir = os.path.join(os.path.abspath(self.train_dir), "ckpt")
@@ -218,8 +237,16 @@ class Trainer:
             self.state = jax.device_put(restored,
                                         replicated_sharding(self.mesh))
             self._auto_resumed = True
-            log.infov("Auto-resumed from %s step %d (data shuffle and rng "
-                      "restart from seed)", self.ckpt_dir, latest)
+            # EXACT resume: replay the data stream to where the dead run
+            # was. The chunked Karel path needs nothing (batch indices are a
+            # pure function of (seed, step)); streaming pipes fast-forward
+            # their index draws by `latest` batches.
+            if self.karel_cache is None \
+                    and hasattr(self.pipe_train, "fast_forward"):
+                self.pipe_train.fast_forward(latest)
+            log.infov("Auto-resumed from %s step %d (exact: batch sequence "
+                      "and per-step rng replay deterministically)",
+                      self.ckpt_dir, latest)
         elif args.checkpoint:
             self.restore(args.checkpoint)
 
@@ -348,6 +375,20 @@ class Trainer:
         cv2.imwrite(os.path.join(out_dir, f"step_{step}_demo.png"),
                     strip[:, :, ::-1].astype(np.uint8))  # RGB->BGR for cv2
 
+        # perception-map summary (reference `model_full.py:1223-1297`):
+        # gt per-step perception vectors (replayed) above the perception
+        # head's sigmoid probabilities, per primitive x timestep
+        if "pred_per" in evals:
+            gt_per = np.asarray(world.p_v_h, np.float32).T  # (P, T')
+            pred = np.asarray(evals["pred_per"])[0, 0].T    # (P, T)
+            Tn = gt_per.shape[1]
+            sep = np.full((1, Tn), 0.5, np.float32)
+            per_map = np.concatenate([gt_per, sep, pred[:, :Tn]], axis=0)
+            cv2.imwrite(
+                os.path.join(out_dir, f"step_{step}_per.png"),
+                np.kron((per_map * 255).astype(np.uint8),
+                        np.ones((8, 8), np.uint8)))
+
     def train(self, max_steps=1_000_000):
         args = self.args
         # `max_steps` counts steps for THIS stage: a fresh (or warm-started)
@@ -367,6 +408,9 @@ class Trainer:
             log.infov("Nothing to do: step %d >= target %d", start, target)
             return
         log.infov("Training Starts! (step %d -> %d)", start, target)
+        if self.karel_cache is not None:
+            self._train_chunked(start, target)
+            return
         profile_steps = getattr(args, "profile_steps", 0)
         profile_start = start + getattr(args, "profile_start", 10)
         # jitted steps dispatch asynchronously: per-iteration wall time is
@@ -384,7 +428,7 @@ class Trainer:
             t0 = time.time()
             batch = next(self.pipe_train)
             t_data = time.time() - t0
-            self.rng, step_rng = jax.random.split(self.rng)
+            step_rng = jax.random.fold_in(self.rng, s)
             self.state, report = self.train_step(self.state, batch, step_rng)
             if profile_steps and s == profile_start + profile_steps - 1:
                 jax.block_until_ready(report["loss"])
@@ -400,20 +444,91 @@ class Trainer:
                 win_t, win_s = now, s
                 self._write_metrics("train", self.state.step, report)
             if s % args.test_sample_step == 0:
-                t1 = time.time()
-                test_batch = next(self.pipe_test)
-                test_report, test_evals = self.eval_step(self.state,
-                                                         test_batch)
-                test_report = jax.device_get(test_report)
-                self._log_line("val", int(self.state.step), test_report,
-                               time.time() - t1)
-                self._write_metrics("val", self.state.step, test_report)
-                self._write_samples(int(self.state.step), test_batch,
-                                    jax.device_get(test_evals))
+                self._test_sample()
                 win_t, win_s = time.time(), s  # keep eval out of the window
-            if s % args.ckpt_save_step == 0 and (s > start or s == 0):
+            # checkpoints land on exact multiples of ckpt_save_step (state
+            # .step is s+1 here; keying on s put every mid-run ckpt at step
+            # N+1 — ckpt/20000 never existed and downstream per-step evals
+            # silently fell back, the root of ADVICE r3 high)
+            if (s + 1) % args.ckpt_save_step == 0:
                 self.save()
                 win_t, win_s = time.time(), s
+        self.save()
+
+    def _test_sample(self):
+        """One eval-model forward on a test batch + sample/metric logging
+        (the reference's every-100-step test run, `trainer.py:169-174`)."""
+        t1 = time.time()
+        test_batch = next(self.pipe_test)
+        test_report, test_evals = self.eval_step(self.state, test_batch)
+        test_report = jax.device_get(test_report)
+        self._log_line("val", int(self.state.step), test_report,
+                       time.time() - t1)
+        self._write_metrics("val", self.state.step, test_report)
+        self._write_samples(int(self.state.step), test_batch,
+                            jax.device_get(test_evals))
+
+    def _train_chunked(self, start, target):
+        """HBM-cache train loop: many steps per dispatch (lax.scan over the
+        jitted step with on-device batch sampling) — no per-step host work,
+        so throughput is compute-bound regardless of tunnel RTT. Host-side
+        events (logging / test-sample / checkpoints) happen at the cadence
+        boundaries, which define the chunk lengths; with aligned cadences
+        every chunk is log_step long (one compile)."""
+        args = self.args
+        from demo2program_tpu.train.step import make_chunked_train_step
+        cache = self.karel_cache
+        cadences = [args.log_step, args.test_sample_step,
+                    args.ckpt_save_step]
+        # distinct stream from the per-step model rng (fold_in of the same
+        # key would collide data and dropout/sampling streams)
+        data_key = jax.random.fold_in(self.rng, 0x5eed)
+        s = start
+        # report fetches run ONE chunk behind the dispatch so the ~RTT of
+        # the device->host fetch overlaps the next chunk's compute instead
+        # of serializing with it (win["pending"] holds the un-fetched
+        # (boundary_step, device report) of the previous log boundary)
+        win = {"t": time.time(), "s": start}
+
+        def _flush():
+            if win.get("pending") is None:
+                return
+            b, rep_dev = win.pop("pending")
+            report = jax.device_get(rep_dev)
+            now = time.time()
+            self._log_line("train", b, report,
+                           (now - win["t"]) / max(b - win["s"], 1))
+            win["t"], win["s"] = now, b
+            self._write_metrics("train", b, report)
+
+        while s < target:
+            if s % args.test_sample_step == 0:
+                _flush()
+                self._test_sample()
+                win["t"], win["s"] = time.time(), s
+            nxt = min([((s // c) + 1) * c for c in cadences] + [target])
+            chunk = nxt - s
+            fn = self._chunk_fns.get(chunk)
+            if fn is None:
+                if self._chunk_fns:
+                    log.warn("new chunk length %d (cadences not aligned); "
+                             "compiling another chunked step", chunk)
+                fn = make_chunked_train_step(
+                    self.model, self.cfg, self.tx, args.model,
+                    cache.n, args.batch_size, chunk,
+                    sharding=self._batch_sharding)
+                self._chunk_fns[chunk] = fn
+            self.state, reports = fn(self.state, cache.data, data_key,
+                                     self.rng)
+            s = nxt
+            if s % args.log_step == 0 or s == target:
+                _flush()
+                win["pending"] = (s, jax.tree_util.tree_map(
+                    lambda a: a[-1], reports))
+            if s % args.ckpt_save_step == 0 and s < target:
+                self.save()
+                win["t"], win["s"] = time.time(), s
+        _flush()
         self.save()
 
 

@@ -89,9 +89,11 @@ def main():
         if not wargs.no_eval and st.get("eval", "1") != "0":
             import glob
             import os.path as osp
+            # gate on the completion marker: a crashed eval leaves a
+            # partial log that must be redone (ADVICE r3 low)
             done = [p for p in glob.glob(osp.join(st["dir"], "eval",
                                                   "out_*_test.log"))
-                    if osp.getsize(p) > 0]
+                    if "Final Avg Report" in open(p).read()]
             if done:
                 log.infov("eval for %s already on disk (%s); skipping",
                           st["dir"], done[0])

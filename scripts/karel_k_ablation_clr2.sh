@@ -24,7 +24,10 @@ for K in 3 5; do
         --test_sample_step 1000 --log_step 100 \
         --cell_impl pallas
     for STEP in 20000 40000 60000; do
-      if ls $D/eval_val/out_${STEP}_val.log > /dev/null 2>&1; then
+      # gate on the completion marker, not mere log existence: a crashed
+      # eval leaves a partial log that must be redone (ADVICE r3 low)
+      if grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
+          2>/dev/null; then
         continue
       fi
       python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
@@ -42,11 +45,13 @@ for step in (20000, 40000, 60000):
         txt = open(f"{d}/eval_val/out_{step}_val.log").read()
     except OSError:
         continue
-    m = re.search(
+    # the LAST match is the [Final Avg Report] over all eval batches; the
+    # first is the noisy single-batch step-0 line (ADVICE r3 high)
+    ms = re.findall(
         r"test_greedy_program_execution_acc_hist: \[([^\]]*)\]", txt)
-    if not m:
+    if not ms:
         continue
-    acc = float(m.group(1).split(",")[-2])  # last bucket = all-correct
+    acc = float(ms[-1].split(",")[-2])  # last bucket = all-correct
     print(f"val unseen exec @{step}: {acc:.3f}", file=sys.stderr)
     if acc > best_acc:
         best_step, best_acc = step, acc

@@ -34,3 +34,12 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.device_count() >= 8, (
     "tests require the 8-device virtual CPU mesh; got "
     f"{jax.devices()}")
+
+
+def pytest_configure(config):
+    # test tiering (VERDICT r3 weak #5): `pytest -m "not slow"` is the
+    # fast gate (~2 min on the 1-core host); the full suite runs the heavy
+    # model-stack / trainer-e2e compiles too
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy model/e2e tests (deselect with -m 'not slow')")

@@ -2,12 +2,16 @@
 
 import jax
 import numpy as np
+import pytest
 
 from demo2program_tpu.dsl import karel_parser
 from demo2program_tpu.dsl.karel_vocab import KarelVocab
 from demo2program_tpu.models.synthesis import SynthesisModel
 from tests.test_data import tiny_dataset_dir  # noqa: F401
 from tests.test_models import tiny_cfg, random_batch, BS, L
+
+
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
 
 
 def test_beam_width_1_equals_greedy():

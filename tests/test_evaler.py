@@ -6,8 +6,12 @@ import types
 
 import h5py
 import numpy as np
+import pytest
 
 from tests.test_data import tiny_dataset_dir  # noqa: F401
+
+
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
 
 
 def test_evaler_end_to_end(tiny_dataset_dir, tmp_path):  # noqa: F811

@@ -9,6 +9,9 @@ from demo2program_tpu.models import objective
 from tests.test_models import tiny_cfg, random_batch, BS, K, TK, T, A
 
 
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
+
+
 def test_induction_forward_and_loss():
     cfg = tiny_cfg(model="induction_baseline")
     batch = random_batch(5)

@@ -12,6 +12,9 @@ from demo2program_tpu.models.summarizer import SummarizerModel
 from demo2program_tpu.models.synthesis import SynthesisModel
 from demo2program_tpu.models import objective
 
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
+
+
 BS, K, TK, T, L, V, A, P = 2, 3, 2, 6, 10, 50, 6, 5
 
 

@@ -10,6 +10,9 @@ from demo2program_tpu.ops.pallas_lstm import (
     PallasLSTMCell, _lstm_step_ref, fused_lstm_step)
 
 
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
+
+
 def test_fused_step_matches_reference():
     rng = np.random.RandomState(0)
     B, D, H = 8, 128, 128

@@ -10,6 +10,9 @@ import pytest
 from tests.test_data import tiny_dataset_dir  # session fixture  # noqa: F401
 
 
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
+
+
 def _args(dataset_dir, tmp_path, **kw):
     ns = types.SimpleNamespace(
         debug=False, prefix="test", model=kw.get("model",
@@ -170,6 +173,56 @@ def test_check_data_id(tiny_dataset_dir):  # noqa: F811
     check_data_id(ds, ds.ids[:2])  # valid
     with _pytest.raises(RuntimeError):
         check_data_id(ds, ["nonexistent_id"])
+
+
+@pytest.fixture(scope="module")
+def mesh_dataset_dir(tmp_path_factory):
+    """Tiny dataset whose test split fits a batch-8 eval stream (the shared
+    tiny_dataset_dir has only 4 test items)."""
+    from demo2program_tpu.data.karel_generator import (
+        GeneratorConfig, generate)
+    d = tmp_path_factory.mktemp("karel_mesh")
+    generate(GeneratorConfig(
+        dir_name=str(d), num_train=16, num_test=8, num_val=4,
+        num_demo_per_program=5, num_test_demo_per_program=3,
+        min_demo_length=4, max_demo_length=12, seed=13), progress_every=0)
+    return str(d)
+
+
+@pytest.mark.slow
+def test_trainer_multichip_e2e(mesh_dataset_dir, tmp_path):  # noqa: F811
+    """VERDICT r3 next #8: drive the FULL Trainer (not just the jitted
+    step) on the 8-device CPU mesh — sharded/replicated cache, chunked
+    loop, test-sample eval stream, checkpoint save + auto-resume
+    re-replication."""
+    import json
+    import os
+
+    import jax
+
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+
+    ds_train, ds_test, _ = create_default_splits(mesh_dataset_dir, num_k=3)
+    args = _args(mesh_dataset_dir, tmp_path, model="synthesis_baseline",
+                 batch_size=8, log_step=4, test_sample_step=8,
+                 ckpt_save_step=8)
+    t1 = Trainer(args, ds_train, ds_test)
+    assert int(np.prod(t1.mesh.devices.shape)) == 8
+    t1.train(max_steps=12)  # crosses a ckpt boundary at 8
+    assert int(t1.state.step) == 12
+    assert 8 in t1.ckpt_mgr.all_steps()
+
+    # auto-resume onto the mesh: restored state must re-replicate and the
+    # loop must finish the original target
+    with open(os.path.join(t1.train_dir, "resume.json"), "w") as f:
+        json.dump({"target_step": 16}, f)
+    t2 = Trainer(args, ds_train, ds_test)
+    assert t2._auto_resumed and int(t2.state.step) == 12
+    t2.train(max_steps=16)
+    assert int(t2.state.step) == 16
+    report, _ = t2.eval_step(t2.state, next(t2.pipe_test))
+    assert np.isfinite(float(jax.device_get(report["loss"])))
 
 
 def test_dryrun_multichip():

@@ -12,6 +12,9 @@ from demo2program_tpu.data.vizdoom_dataset import create_vizdoom_splits
 from demo2program_tpu.data.vizdoom_generator import (
     VizdoomGeneratorConfig, generate)
 
+pytestmark = pytest.mark.slow  # heavy model-stack compiles; fast gate skips
+
+
 H = W = 32  # small frames keep the conv test cheap
 C = 3
 KD, TKD = 3, 2  # demos / test demos per program
