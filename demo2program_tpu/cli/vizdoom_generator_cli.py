@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=80)
     p.add_argument("--height", type=int, default=80)
     p.add_argument("--perception_type", type=str, default="simple")
+    p.add_argument("--sprite_style", type=str, default="v2",
+                   choices=["v2", "v3"],
+                   help="DoomLite sprite style; v3 adds species-"
+                        "unique silhouette carving")
     p.add_argument("--ifelse", action="store_true", default=False,
                    help="generate the single-IFELSE dataset variant")
     p.add_argument("--engine_config", type=str,
@@ -51,6 +55,7 @@ def main(argv=None):
         num_test_demo_per_program=args.num_test_demo_per_program,
         width=args.width, height=args.height,
         perception_type=args.perception_type,
+        sprite_style=args.sprite_style,
         ifelse=args.ifelse)
     generate(cfg)
 

@@ -44,6 +44,8 @@ class VizdoomDataset(KarelDataset):
         self.vizdoom_max_init_pos_len = int(
             _scalar(info["vizdoom_max_init_pos_len"]))
         self.perception_type = _scalar(info["perception_type"])
+        self.sprite_style = (_scalar(info["sprite_style"])
+                             if "sprite_style" in info else "v2")
         self.level = (_scalar(info["level"]) if "level" in info
                       else "not_simple")
         self.dsl_type = "vizdoom_default"

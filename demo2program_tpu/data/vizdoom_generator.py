@@ -87,6 +87,7 @@ class VizdoomGeneratorConfig:
     width: int = 80
     height: int = 80
     perception_type: str = "simple"
+    sprite_style: str = "v2"  # DoomLite sprite rendering style
     ifelse: bool = False  # generator_ifelse.py variant
 
 
@@ -101,7 +102,8 @@ def generate(cfg: VizdoomGeneratorConfig):
     world_list = []
     for _ in range(num_demo):
         world = Vizdoom_env(config=cfg.engine_config,
-                            perception_type=cfg.perception_type)
+                            perception_type=cfg.perception_type,
+                            sprite_style=cfg.sprite_style)
         world.init_game()
         world_list.append(world)
     h, w, c = cfg.height, cfg.width, world_list[0].channel
@@ -233,6 +235,7 @@ def generate(cfg: VizdoomGeneratorConfig):
     info["vizdoom_pos_keys"] = pos_keys
     info["vizdoom_max_init_pos_len"] = max_init_poslen
     info["perception_type"] = cfg.perception_type
+    info["sprite_style"] = cfg.sprite_style
     f.close()
     id_file.close()
     for world in world_list:

@@ -176,6 +176,17 @@ class DoomGame:
         self.timeout = DEFAULT_TIMEOUT
         self._inited = False
         self._episode = 0
+        # sprite rendering style; "v2" (default) is frozen — stored datasets
+        # are compared frame-bitwise against live replays, so any change
+        # must be an opt-in new style ("v3" adds species-unique silhouette
+        # carving on top of the v2 colours + two-tone bands)
+        self.sprite_style = "v2"
+
+    def set_sprite_style(self, style):
+        if style not in ("v2", "v3"):
+            raise ValueError(f"unknown sprite_style {style!r}")
+        self.sprite_style = style
+        self._screen_cache = None
 
     # -- configuration (vizdoom API names) ------------------------------------
     def load_config(self, path):
@@ -487,6 +498,8 @@ class DoomGame:
             y0, y1 = int(lab.y), int(math.ceil(lab.y + lab.height))
             fade = max(0.6, min(1.0, 220.0 / (d + 40.0)))
             c = (np.array(colour, np.float32) * fade).astype(np.uint8)
+            bg = (img[y0:y1, x0:x1].copy()
+                  if self.sprite_style == "v3" else None)
             img[y0:y1, x0:x1] = c
             # Species-specific two-tone pattern so kinds read by SHAPE as
             # well as hue at small sizes: Demon = dark head band (top),
@@ -504,6 +517,34 @@ class DoomGame:
                 img[y0:y1, x1 - sw:x1] = dark
             else:  # Demon, MyAmmo
                 img[y0:y0 + band, x0:x1] = dark
+            # "v3": species-unique SILHOUETTES on top of colour + bands —
+            # carve background back through the rect so the outline itself
+            # identifies the kind (shape survives 80x80 downsizing better
+            # than interior bands; all carves stay off the bbox centre
+            # pixel so label-centre probes still read the species colour):
+            #   Demon      = narrow head  (top corners carved)
+            #   HellKnight = horned top   (top centre carved)
+            #   Revenant   = split legs   (bottom centre carved)
+            if bg is not None and name in SPECIES:
+                bw, bh = x1 - x0, y1 - y0
+                if bw >= 4 and bh >= 5:
+                    if name == "Demon":
+                        t = max(1, bh * 3 // 10)
+                        s = max(1, bw // 4)
+                        img[y0:y0 + t, x0:x0 + s] = bg[:t, :s]
+                        img[y0:y0 + t, x1 - s:x1] = bg[:t, bw - s:]
+                    elif name == "HellKnight":
+                        t = max(1, bh // 4)
+                        s = max(1, bw // 3)
+                        m0 = (bw - s) // 2
+                        img[y0:y0 + t, x0 + m0:x0 + m0 + s] = \
+                            bg[:t, m0:m0 + s]
+                    else:  # Revenant
+                        t = max(1, bh * 2 // 5)
+                        s = max(1, bw // 3)
+                        m0 = (bw - s) // 2
+                        img[y1 - t:y1, x0 + m0:x0 + m0 + s] = \
+                            bg[bh - t:, m0:m0 + s]
 
         # selected-weapon sprite, bottom centre (render_weapon = true)
         wc = np.array(WEAPONS[self.selected][3], np.uint8)

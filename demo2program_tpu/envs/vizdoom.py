@@ -120,7 +120,8 @@ class Vizdoom_env:
     software engine."""
 
     def __init__(self, config=DEFAULT_CONFIG, verbose=False,
-                 perception_type="more_simple", engine="auto"):
+                 perception_type="more_simple", engine="auto",
+                 sprite_style="v2"):
         DoomGame = ScreenResolution = None
         if engine in ("auto", "vizdoom"):
             try:
@@ -139,6 +140,15 @@ class Vizdoom_env:
                                   "assets", "doomlite.cfg")
         self.verbose = verbose
         self.game = DoomGame()
+        self.sprite_style = sprite_style
+        if sprite_style != "v2":
+            # sprite styles only exist in the DoomLite software renderer;
+            # the real engine's art is fixed by its wad
+            if not hasattr(self.game, "set_sprite_style"):
+                raise ValueError(
+                    f"sprite_style {sprite_style!r} requires the DoomLite "
+                    "engine (the vizdoom engine's art is wad-defined)")
+            self.game.set_sprite_style(sprite_style)
         self.game.load_config(config)
         if verbose and ScreenResolution is not None:
             self.game.set_window_visible(True)

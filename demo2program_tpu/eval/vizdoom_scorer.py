@@ -60,7 +60,8 @@ class VizdoomScorer:
             from demo2program_tpu.envs.vizdoom import Vizdoom_env
             self._world = Vizdoom_env(
                 config=self.engine_config,
-                perception_type=self.cfg.perception_type)
+                perception_type=self.cfg.perception_type,
+                sprite_style=getattr(self.cfg, "sprite_style", "v2"))
             self._world.init_game()
         return self._world
 

@@ -41,6 +41,9 @@ class ModelConfig:
     vizdoom_max_init_pos_len: int = -1
     perception_type: str = ""
     level: Optional[str] = None
+    # DoomLite sprite rendering style the dataset was generated with
+    # (execution scoring replays must render identically)
+    sprite_style: str = "v2"
     # program end token id ('m)' for karel, domain vocab supplies otherwise)
     program_end_token: int = 3
     # LSTM cell implementation: "xla" (flax OptimizedLSTMCell) or

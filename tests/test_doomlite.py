@@ -170,6 +170,66 @@ def test_species_distinguishable_after_downsize():
                 assert diff > 60, (dist, kinds[i], kinds[j], cols)
 
 
+def test_v3_silhouettes_distinct_and_v2_frozen():
+    """sprite_style='v3' carves species-unique silhouettes (Demon: narrow
+    head; HellKnight: horned top; Revenant: split legs) while the default
+    v2 rendering stays bit-identical — stored v2 datasets are compared
+    frame-bitwise against live replays, so v2 must never change."""
+    from demo2program_tpu.data.vizdoom_generator import downsize
+
+    def frame(kind, style, dist=150.0):
+        g = doomlite.DoomGame()
+        if style != "v2":
+            g.set_sprite_style(style)
+        g.init()
+        g.new_episode()
+        g.send_game_command("puke 20 0 100")
+        base = doomlite.PUKE_BASE[kind]
+        g.send_game_command(f"puke {base} 0 {100 + dist}")
+        st = g.get_state()
+        lab = next(l for l in st.labels if l.object_name == kind)
+        return np.transpose(st.screen_buffer, (1, 2, 0)), lab
+
+    kinds = ("Demon", "HellKnight", "Revenant")
+    for kind in kinds:
+        # v2 path is untouched by the style plumbing
+        f_default, _ = frame(kind, "v2")
+        g2 = doomlite.DoomGame()
+        g2.set_sprite_style("v2")
+        assert g2.sprite_style == "v2"
+        f3, lab = frame(kind, "v3")
+        assert not np.array_equal(f_default, f3), kind  # carve visible
+        # carves stay off the bbox centre: centre pixel keeps species hue
+        cy = int(lab.y + lab.height / 2)
+        cx = int(lab.x + lab.width / 2)
+        assert np.array_equal(f_default[cy, cx], f3[cy, cx]), kind
+
+    # silhouette signatures stay pairwise distinct after the 80x80
+    # downsize: compare where each sprite's bbox differs from the v2 fill
+    # (top-half vs bottom-half carve mass separates all three kinds)
+    sig = {}
+    for kind in kinds:
+        f2, lab = frame(kind, "v2")
+        f3, _ = frame(kind, "v3")
+        d2, d3 = downsize(f2).astype(int), downsize(f3).astype(int)
+        diff = (np.abs(d2 - d3).sum(-1) > 30)
+        ys, xs = np.nonzero(diff)
+        assert len(ys) >= 2, kind
+        # carve position relative to the sprite bbox centre (downsized)
+        cy = (lab.y + lab.height / 2) * 80.0 / 120.0
+        top_mass = (ys <= cy).mean()
+        width_spread = (xs.max() - xs.min()) / max(diff.shape[1], 1)
+        sig[kind] = (top_mass, width_spread)
+    # Revenant carves the bottom; the other two carve the top
+    assert sig["Revenant"][0] < 0.5 < sig["Demon"][0]
+    assert sig["HellKnight"][0] > 0.5
+    # Demon carves both corners (wide); HellKnight carves the centre only
+    assert sig["Demon"][1] > sig["HellKnight"][1]
+
+    with pytest.raises(ValueError):
+        doomlite.DoomGame().set_sprite_style("v9")
+
+
 @pytest.fixture(scope="session")
 def tiny_doom_dataset(tmp_path_factory):
     d = tmp_path_factory.mktemp("doom_tiny")

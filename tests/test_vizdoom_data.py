@@ -129,6 +129,41 @@ def test_scorer_execution_oracle(real_vizdoom_dir):
     assert per_demo.all(), per_demo
 
 
+def test_scorer_execution_oracle_v3_sprites(tmp_path):
+    """sprite_style=v3 end to end: generate with silhouette sprites, then
+    replay gt programs — the dataset records the style, the scorer renders
+    with it, and stored frames must match the live replay bit for bit."""
+    import types
+
+    from demo2program_tpu.eval.vizdoom_scorer import VizdoomScorer
+    from demo2program_tpu.train.trainer import config_from_dataset
+
+    d = str(tmp_path / "v3ds")
+    generate(VizdoomGeneratorConfig(
+        dir_name=d, num_train=3, num_test=1, num_val=1,
+        num_demo_per_program=KD, num_test_demo_per_program=TKD,
+        width=W, height=H, min_demo_length=2, max_demo_length=6,
+        perception_type="more_simple", seed=21, sprite_style="v3"))
+    ds_train, _, _ = create_vizdoom_splits(d, num_k=2)
+    assert ds_train.sprite_style == "v3"
+    args = types.SimpleNamespace(
+        model="full", dataset_type="vizdoom", batch_size=2,
+        num_lstm_cell_units=32, demo_aggregation="avgpool",
+        scheduled_sampling=False, scheduled_sampling_decay_steps=100)
+    cfg = config_from_dataset(args, ds_train)
+    assert cfg.sprite_style == "v3"
+    scorer = VizdoomScorer(cfg, engine_config=None)
+    items = [ds_train.get_data(i) for i in ds_train.ids[:2]]
+    batch = {k: np.stack([it[k] for it in items]) for k in items[0]
+             if k != "id"}
+    pred_len = batch["program_len"][:, 0].astype(np.int64)
+    nc, per_demo = scorer.execution(
+        batch["program_tokens"], pred_len, np.zeros(2),
+        batch["s_h"], batch["demo_len"],
+        batch["init_pos"], batch["init_pos_len"])
+    assert per_demo.all(), per_demo
+
+
 def test_merge_datasets(real_vizdoom_dir, tmp_path):
     d2 = str(tmp_path / "shard2")
     _gen_real(d2, seed=9)
