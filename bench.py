@@ -57,6 +57,9 @@ _PEAK_FLOPS = {
 
 # chain lengths for the differencing measurement; overridable for CPU smoke
 CHAIN_N = int(os.environ.get("D2P_BENCH_CHAIN", 256))
+# structural smoke on CPU: shrink the model (the TPU record always uses
+# the driver regime 512)
+UNITS = int(os.environ.get("D2P_BENCH_UNITS", 512))
 REPS = int(os.environ.get("D2P_BENCH_REPS", 5))
 
 
@@ -81,11 +84,15 @@ def _gen_tiny(path="/tmp/d2p_bench_ds"):
 
 
 def _hard_sync(st):
-    # device->host fetch of a live param slice: unlike block_until_ready
-    # (observed returning early through the axon tunnel), the bytes cannot
-    # arrive before the steps that produced them have run
-    leaf = jax.tree_util.tree_leaves(st.params)[0]
-    return np.asarray(leaf).ravel()[0]
+    # device->host fetch of a SCALAR reduction of a live param leaf: unlike
+    # block_until_ready (observed returning early through the axon tunnel),
+    # the 4 bytes cannot arrive before the steps that produced them ran —
+    # and unlike fetching the leaf itself, a scalar costs no multi-MB
+    # transfer that would swamp t(n) (a 4 MB leaf is ~200 ms through the
+    # ~20 MB/s tunnel)
+    import jax.numpy as jnp
+    leaf = min(jax.tree_util.tree_leaves(st.params), key=lambda a: a.size)
+    return float(jnp.sum(leaf))
 
 
 def _diff_time(run_fn, n):
@@ -113,7 +120,7 @@ def main():
         strip_non_tensor)
     from __graft_entry__ import _random_batch
 
-    cfg = ModelConfig(model="full", batch_size=32, num_lstm_cell_units=512,
+    cfg = ModelConfig(model="full", batch_size=32, num_lstm_cell_units=UNITS,
                       k=10, test_k=5, max_demo_len=20, max_program_len=45,
                       cell_impl="pallas")  # fused LSTM kernel: ~1.5x vs xla
     bs = cfg.batch_size
@@ -137,6 +144,33 @@ def main():
         np.asarray(jax.device_put(np.zeros(8, np.float32)))
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1e3)
+
+    # speed-of-light anchor: a pure bf16 matmul chain through the SAME
+    # timing method; ~1.0 means the chip and the measurement are sound
+    # (r2's 294k-demos/s record was a block_until_ready under-sync artifact
+    # — this probe is what exposed it, 193 TF/s = 98% of v5e peak)
+    import jax.numpy as jnp
+    Nm = 2048 if os.environ.get("JAX_PLATFORMS") == "cpu" else 4096
+    ma = jax.random.normal(jax.random.key(2), (Nm, Nm), jnp.bfloat16)
+    mb = jax.random.normal(jax.random.key(3), (Nm, Nm), jnp.bfloat16)
+
+    @jax.jit
+    def _mm_chain(a, b, n):
+        def body(i, ab):
+            return (jnp.tanh(ab[0] @ ab[1]), ab[1])
+        a, b = jax.lax.fori_loop(0, n, body, (a, b))
+        return jnp.float32(jnp.sum(a))
+
+    float(_mm_chain(ma, mb, 2))
+
+    def _mm_run(n):
+        t0 = time.perf_counter()
+        float(_mm_chain(ma, mb, n))
+        return time.perf_counter() - t0
+
+    mm_n = max(CHAIN_N // 4, 2)
+    mm_dt, _ = _diff_time(_mm_run, mm_n)
+    matmul_tflops = 2 * Nm ** 3 / mm_dt / 1e12
 
     # XLA-counted FLOPs for the compiled step (forward+backward+Adam)
     train_step = make_train_step(model, cfg, tx, "full", donate=False)
@@ -163,6 +197,7 @@ def main():
         return jax.jit(run)
 
     chain = _make_chain(step_fn)
+    print("bench: compiling step-only chain...", file=sys.stderr)
     state = chain(state, sharded_t, rng, 2)  # compile (count is dynamic)
     _hard_sync(state)
 
@@ -173,7 +208,9 @@ def main():
         _hard_sync(state)
         return time.perf_counter() - t0
 
+    print("bench: step-only chain compiled; timing...", file=sys.stderr)
     dt_step, step_overhead = _diff_time(run_steps, CHAIN_N)
+    print(f"bench: step-only dt={dt_step*1e3:.3f} ms", file=sys.stderr)
     step_demos = bs * cfg.k / dt_step / n_chips
 
     # bf16 step variant: same f32 params/optimizer, forward/backward cast
@@ -193,6 +230,7 @@ def main():
         return time.perf_counter() - t0
 
     dt_bf16, _ = _diff_time(run_bf, CHAIN_N)
+    print(f"bench: bf16 dt={dt_bf16*1e3:.3f} ms", file=sys.stderr)
     bf16_demos = bs * cfg.k / dt_bf16 / n_chips
 
     # ---- end-to-end: the real chunked train loop over a real dataset ----
@@ -210,7 +248,7 @@ def main():
         cache = KarelDeviceCache(ds_train, mesh=mesh)
         eb = cache.example_batch(bs)
         e_cfg = ModelConfig(
-            model="full", batch_size=bs, num_lstm_cell_units=512,
+            model="full", batch_size=bs, num_lstm_cell_units=UNITS,
             k=cfg.k, test_k=5,
             max_demo_len=int(eb["c_a_raw"].shape[2]),
             max_program_len=int(eb["program_tokens"].shape[1]),
@@ -225,6 +263,7 @@ def main():
         data_key = jax.random.key(7)
         e_state, _ = chunk_fn(e_state, cache.data, data_key, rng)  # compile
         _hard_sync(e_state)
+        print("bench: e2e chunked loop compiled; timing...", file=sys.stderr)
 
         def run_e2e(count):  # count steps = count/CHUNK sequential chunks
             nonlocal e_state
@@ -263,6 +302,7 @@ def main():
         "sync_overhead_ms": round(step_overhead * 1e3, 1),
         "e2e_sync_overhead_ms": e2e_overhead_ms,
         "device_put_rtt_ms": round(rtt_ms, 2),
+        "matmul_peak_probe_tflops": round(matmul_tflops, 1),
         # informational: the cancelled per-call overhead vs chain compute;
         # >1 means a naive (non-differenced) timing would have been
         # RTT-dominated — exactly the r03 failure mode
