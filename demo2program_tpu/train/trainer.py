@@ -66,6 +66,7 @@ def config_from_dataset(args, dataset):
             vizdoom_max_init_pos_len=dataset.vizdoom_max_init_pos_len,
             perception_type=dataset.perception_type,
             level=dataset.level,
+            sprite_style=getattr(dataset, "sprite_style", "v2"),
             program_end_token=vocab.end_token,
         )
     vocab = KarelVocab()
@@ -195,12 +196,25 @@ class Trainer:
         self.tx = make_optimizer(cfg, args.learning_rate,
                                  args.lr_weight_decay)
         rng = jax.random.key(args.seed)
+        # device-resident training data for the CHUNKED loop (many steps
+        # per dispatch, on-device batch sampling): the Karel compact cache,
+        # or a single-shard doom HBM cache (the sharded multi-chip doom
+        # cache keeps per-shard host cursors and streams instead)
+        self._chunk_data = None
         if self.karel_cache is not None:
             example = self.karel_cache.example_batch(args.batch_size)
+            self._chunk_data = (self.karel_cache.data, self.karel_cache.n)
             self._chunk_fns = {}  # chunk length -> jitted scan-of-steps
             self._batch_sharding = sharding
         else:
             example = next(self.pipe_train)
+            from demo2program_tpu.train.device_cache import DoomDeviceCache
+            if (isinstance(self.pipe_train, DoomDeviceCache)
+                    and self.pipe_train.n_shards == 1):
+                self._chunk_data = (self.pipe_train._data,
+                                    len(self.pipe_train._ids))
+                self._chunk_fns = {}
+                self._batch_sharding = sharding
         self.state = create_train_state(self.model, cfg, self.tx, rng,
                                         example)
         self._first_batch = example
@@ -241,7 +255,7 @@ class Trainer:
             # was. The chunked Karel path needs nothing (batch indices are a
             # pure function of (seed, step)); streaming pipes fast-forward
             # their index draws by `latest` batches.
-            if self.karel_cache is None \
+            if self._chunk_data is None \
                     and hasattr(self.pipe_train, "fast_forward"):
                 self.pipe_train.fast_forward(latest)
             log.infov("Auto-resumed from %s step %d (exact: batch sequence "
@@ -408,7 +422,7 @@ class Trainer:
             log.infov("Nothing to do: step %d >= target %d", start, target)
             return
         log.infov("Training Starts! (step %d -> %d)", start, target)
-        if self.karel_cache is not None:
+        if self._chunk_data is not None:
             self._train_chunked(start, target)
             return
         profile_steps = getattr(args, "profile_steps", 0)
@@ -477,7 +491,7 @@ class Trainer:
         every chunk is log_step long (one compile)."""
         args = self.args
         from demo2program_tpu.train.step import make_chunked_train_step
-        cache = self.karel_cache
+        data, n_items = self._chunk_data
         cadences = [args.log_step, args.test_sample_step,
                     args.ckpt_save_step]
         # distinct stream from the per-step model rng (fold_in of the same
@@ -515,10 +529,10 @@ class Trainer:
                              "compiling another chunked step", chunk)
                 fn = make_chunked_train_step(
                     self.model, self.cfg, self.tx, args.model,
-                    cache.n, args.batch_size, chunk,
+                    n_items, args.batch_size, chunk,
                     sharding=self._batch_sharding)
                 self._chunk_fns[chunk] = fn
-            self.state, reports = fn(self.state, cache.data, data_key,
+            self.state, reports = fn(self.state, data, data_key,
                                      self.rng)
             s = nxt
             if s % args.log_step == 0 or s == target:
