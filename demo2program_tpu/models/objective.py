@@ -130,6 +130,11 @@ def program_eval_tensors(cfg, outputs, batch):
         # perception-map image summaries (reference
         # `model_full.py:1223-1297` observability parity)
         res["pred_per"] = jax.nn.sigmoid(outputs["pred_per_logits"])
+    if "pred_action_logits" in outputs:
+        # first-demo action-decoder probabilities (bs, T, A) for the
+        # visualized_action summary (`model_full.py:1266-1275`)
+        res["pred_action_probs"] = jax.nn.softmax(
+            outputs["pred_action_logits"][:, 0], axis=-1)
     return res
 
 

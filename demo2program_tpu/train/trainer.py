@@ -389,6 +389,25 @@ class Trainer:
         cv2.imwrite(os.path.join(out_dir, f"step_{step}_demo.png"),
                     strip[:, :, ::-1].astype(np.uint8))  # RGB->BGR for cv2
 
+        # action-decoder map (reference visualized_action,
+        # `model_full.py:1266-1275`): first demo's per-step action
+        # probabilities (R) against the recorded gt actions (G)
+        if "pred_action_probs" in evals:
+            probs = np.asarray(evals["pred_action_probs"])[0]  # (T, A)
+            T_, A_ = probs.shape
+            gt_oh = np.zeros((T_, A_), np.float32)
+            ids = np.asarray(batch["c_a_raw"])[0, 0]
+            n_act = min(dlen - 1, T_)
+            gt_oh[np.arange(n_act), ids[:n_act]] = 1.0
+            if n_act < T_:
+                gt_oh[n_act, A_ - 1] = 1.0  # <e>
+            rgb = np.stack([probs.T, gt_oh.T,
+                            np.zeros_like(probs.T)], axis=-1)
+            cv2.imwrite(
+                os.path.join(out_dir, f"step_{step}_action.png"),
+                np.kron((rgb[:, :, ::-1] * 255).astype(np.uint8),
+                        np.ones((8, 8, 1), np.uint8)))
+
         # perception-map summary (reference `model_full.py:1223-1297`):
         # gt per-step perception vectors (replayed) above the perception
         # head's sigmoid probabilities, per primitive x timestep
