@@ -63,13 +63,51 @@ UNITS = int(os.environ.get("D2P_BENCH_UNITS", 512))
 REPS = int(os.environ.get("D2P_BENCH_REPS", 5))
 
 
+def _tpu_contenders():
+    """Names of OTHER live processes that plausibly hold the single-tenant
+    TPU (trainer/evaler/stage-runner CLIs). The chip serializes or wedges
+    under two clients, so a record taken while one is live is polluted —
+    flag it rather than publish a silently-degraded number (the r03
+    failure mode). Read-only /proc scan; never signals anything."""
+    names = ("trainer_cli", "evaler_cli", "doom_stage_runner")
+    out = []
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "python" in cmd and any(n in cmd for n in names):
+            out.append(f"{pid}: {cmd.strip()[:120]}")
+    return out
+
+
+def _readable_h5(d):
+    """True iff <d>/data.hdf5 exists and opens for read — a dataset being
+    regenerated holds the h5 write lock (both files are open for the whole
+    gen, karel_generator.py:190-191), and benching against it would either
+    crash or read a partial split."""
+    p = os.path.join(d, "data.hdf5")
+    if not os.path.exists(p):
+        return False
+    try:
+        import h5py
+        with h5py.File(p, "r"):
+            return True
+    except OSError:
+        return False
+
+
 def _find_dataset():
     cand = os.environ.get("D2P_BENCH_DATASET")
-    if cand and os.path.exists(os.path.join(cand, "data.hdf5")):
+    if cand and _readable_h5(cand):
         return cand
     for d in ("datasets/karel_25k", "datasets/karel_10k",
               "datasets/karel_small"):
-        if os.path.exists(os.path.join(d, "data.hdf5")):
+        if _readable_h5(d):
             return d
     return None
 
@@ -119,6 +157,11 @@ def main():
         create_train_state, make_optimizer, make_step_fn, make_train_step,
         strip_non_tensor)
     from __graft_entry__ import _random_batch
+
+    contenders = _tpu_contenders()
+    if contenders:
+        print(f"bench: WARNING — live TPU contenders: {contenders}",
+              file=sys.stderr)
 
     cfg = ModelConfig(model="full", batch_size=32, num_lstm_cell_units=UNITS,
                       k=10, test_k=5, max_demo_len=20, max_program_len=45,
@@ -317,6 +360,12 @@ def main():
         # an MFU above 1.0 is physically impossible: it means the timing
         # sync failed (tunnel anomaly) — flag it so a bogus step-only
         # number can never be read as real
+        # true when another trainer/evaler process was live on this
+        # single-tenant chip during the measurement — the numbers then
+        # reflect contention, not the framework (read alongside the
+        # matmul probe: <90% of peak under contention corroborates)
+        "tpu_contention": bool(contenders),
+        "tpu_contenders": contenders or None,
         "step_timing_anomaly": bool(
             flops_per_step and peak
             and (flops_per_step / dt_step / peak > 1.0
