@@ -57,6 +57,11 @@ _PEAK_FLOPS = {
 
 # chain lengths for the differencing measurement; overridable for CPU smoke
 CHAIN_N = int(os.environ.get("D2P_BENCH_CHAIN", 256))
+# last record taken on an UNCONTENDED TPU; embedded into any record taken
+# while another trainer holds the single-tenant chip, so a polluted
+# official number is always published next to the clean one
+IDLE_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE_REFERENCE.json")
 # structural smoke on CPU: shrink the model (the TPU record always uses
 # the driver regime 512)
 UNITS = int(os.environ.get("D2P_BENCH_UNITS", 512))
@@ -300,7 +305,9 @@ def main():
         e_state = create_train_state(e_model, e_cfg, tx, jax.random.key(0),
                                      eb)
         e_state = jax.device_put(e_state, replicated_sharding(mesh))
-        CHUNK = 100  # Trainer's default log_step — the deployed chunk size
+        # Trainer's default log_step — the deployed chunk size (CPU smoke:
+        # override down, a 100-step CPU chunk is ~20 min on this host)
+        CHUNK = int(os.environ.get("D2P_BENCH_CHUNK", 100))
         chunk_fn = make_chunked_train_step(
             e_model, e_cfg, tx, "full", cache.n, bs, CHUNK)
         data_key = jax.random.key(7)
@@ -371,6 +378,19 @@ def main():
             and (flops_per_step / dt_step / peak > 1.0
                  or flops_per_step / dt_bf16 / peak > 1.0)),
     }
+    if contenders:
+        # polluted record: publish the last clean idle-chip record alongside
+        try:
+            with open(IDLE_REF_PATH) as f:
+                out["idle_reference"] = json.load(f)
+        except (OSError, ValueError):
+            out["idle_reference"] = None
+    elif kind.startswith("TPU") and not e2e_error:
+        try:
+            with open(IDLE_REF_PATH, "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(out))
 
 
