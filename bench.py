@@ -154,6 +154,34 @@ def _diff_time(run_fn, n):
 
 
 def main():
+    # ---- official-record gating (VERDICT r4 weak #3 / next #7): rather
+    # than record under contention with an embedded idle reference, ask
+    # every cooperating trainer/evaler to park (utils/tpu_coord.py
+    # pause_point at their dispatch boundaries) and wait — bounded — for
+    # the chip to go quiet. The pause is held through the measurement and
+    # released afterwards even on failure.
+    from demo2program_tpu.utils import tpu_coord
+    if jax.default_backend() != "tpu":
+        # CPU smoke: no chip to arbitrate — never pause live TPU chains
+        _run(contenders=[])
+        return
+    idle_wait = int(os.environ.get("D2P_BENCH_IDLE_WAIT", 1800))
+    _, busy_pids = tpu_coord.wait_for_quiet(idle_wait)
+    contenders = [c for c in _tpu_contenders()
+                  if int(c.split(":")[0]) in busy_pids]
+    if contenders:
+        print(f"bench: WARNING — contenders still busy after "
+              f"{idle_wait}s pause request: {contenders}", file=sys.stderr)
+    else:
+        print("bench: chip quiet (contenders exited or parked)",
+              file=sys.stderr)
+    try:
+        _run(contenders)
+    finally:
+        tpu_coord.release_pause()
+
+
+def _run(contenders):
     from demo2program_tpu.models.common import ModelConfig
     from demo2program_tpu.models.full import FullModel
     from demo2program_tpu.parallel import make_mesh, replicated_sharding
@@ -162,11 +190,6 @@ def main():
         create_train_state, make_optimizer, make_step_fn, make_train_step,
         strip_non_tensor)
     from __graft_entry__ import _random_batch
-
-    contenders = _tpu_contenders()
-    if contenders:
-        print(f"bench: WARNING — live TPU contenders: {contenders}",
-              file=sys.stderr)
 
     cfg = ModelConfig(model="full", batch_size=32, num_lstm_cell_units=UNITS,
                       k=10, test_k=5, max_demo_len=20, max_program_len=45,
@@ -281,6 +304,59 @@ def main():
     print(f"bench: bf16 dt={dt_bf16*1e3:.3f} ms", file=sys.stderr)
     bf16_demos = bs * cfg.k / dt_bf16 / n_chips
 
+    # ---- batch-scaling point (VERDICT r4 next #6): one extra step-only
+    # measurement at a large batch (same k/T/units). At bs=32 the 48
+    # GFLOP/step sit in sequential LSTM-scan steps and tiny decoder
+    # matmuls (MFU ~5%); a wider batch widens every matmul, so recording
+    # demos/s + MFU here turns "the workload, not the framework, limits
+    # MFU" into a measured fact instead of an assertion.
+    bs_big = int(os.environ.get("D2P_BENCH_BIG_BS", 256))
+    dt_big = flops_big = None
+    big_error = None
+    run_big = (jax.devices()[0].device_kind.startswith("TPU")
+               or os.environ.get("D2P_BENCH_BIG", "") == "1")
+    if run_big:
+        try:
+            cfg_big = dataclasses.replace(cfg, batch_size=bs_big)
+            model_big = FullModel(cfg_big, train=True)
+            batch_big = _random_batch(cfg_big, bs_big)
+            state_big = create_train_state(
+                model_big, cfg_big, tx, jax.random.key(0), batch_big)
+            state_big = jax.device_put(state_big,
+                                       replicated_sharding(mesh))
+            sb = strip_non_tensor(shard_batch(batch_big, mesh))
+            try:
+                ts_big = make_train_step(model_big, cfg_big, tx, "full",
+                                         donate=False)
+                ca_big = jax.jit(lambda s, b, r: ts_big(s, b, r)).lower(
+                    state_big, sb, rng).compile().cost_analysis()
+                if isinstance(ca_big, (list, tuple)):
+                    ca_big = ca_big[0]
+                if ca_big and "flops" in ca_big:
+                    flops_big = float(ca_big["flops"])
+            except Exception:
+                pass
+            chain_big = _make_chain(
+                make_step_fn(model_big, cfg_big, tx, "full"))
+            print("bench: compiling bs-scaling chain...", file=sys.stderr)
+            state_big = chain_big(state_big, sb, rng, 2)
+            _hard_sync(state_big)
+
+            def run_big_steps(count):
+                nonlocal state_big
+                t0 = time.perf_counter()
+                state_big = chain_big(state_big, sb, rng, count)
+                _hard_sync(state_big)
+                return time.perf_counter() - t0
+
+            dt_big, _ = _diff_time(run_big_steps,
+                                   max(CHAIN_N * bs // bs_big, 2))
+            print(f"bench: bs={bs_big} dt={dt_big*1e3:.3f} ms",
+                  file=sys.stderr)
+            del state_big, chain_big, sb, batch_big  # free HBM for e2e
+        except Exception as exc:  # noqa: BLE001
+            big_error = f"{type(exc).__name__}: {exc}"
+
     # ---- end-to-end: the real chunked train loop over a real dataset ----
     # (HBM device cache + on-device batch sampling + scan of steps — the
     # exact code path Trainer runs for Karel)
@@ -359,6 +435,18 @@ def main():
         "rtt_dominated": bool(step_overhead > CHAIN_N * dt_step),
         "flops_per_step": flops_per_step,
         "achieved_tflops": round(achieved / 1e12, 3) if achieved else None,
+        # the bs=256 scaling point: the framework's compute ceiling when
+        # the workload's matmuls are wide enough to fill the MXU
+        "bs_scaling_batch": bs_big if run_big else None,
+        "bs_scaling_ms_per_step": (round(dt_big * 1e3, 3)
+                                   if dt_big else None),
+        "bs_scaling_demos_per_sec_per_chip": (
+            round(bs_big * cfg.k / dt_big / n_chips, 2) if dt_big else None),
+        "bs_scaling_flops_per_step": flops_big,
+        "bs_scaling_mfu_vs_bf16_peak": (
+            round(flops_big / dt_big / peak, 4)
+            if dt_big and flops_big and peak else None),
+        "bs_scaling_error": big_error,
         "device_kind": kind,
         "mfu_vs_bf16_peak": (round(achieved / peak, 4)
                              if achieved and peak else None),
@@ -367,8 +455,10 @@ def main():
         # an MFU above 1.0 is physically impossible: it means the timing
         # sync failed (tunnel anomaly) — flag it so a bogus step-only
         # number can never be read as real
-        # true when another trainer/evaler process was live on this
-        # single-tenant chip during the measurement — the numbers then
+        # true when another trainer/evaler process was STILL BUSY after the
+        # bounded pause request (utils/tpu_coord.py) — cooperating clients
+        # park at dispatch boundaries, so this now only fires for
+        # non-cooperating processes or a wait timeout; the numbers then
         # reflect contention, not the framework (read alongside the
         # matmul probe: <90% of peak under contention corroborates)
         "tpu_contention": bool(contenders),

@@ -35,6 +35,7 @@ from demo2program_tpu.models import get_model_class
 from demo2program_tpu.train.step import make_eval_step, strip_non_tensor
 from demo2program_tpu.train.trainer import config_from_dataset
 from demo2program_tpu.utils import log
+from demo2program_tpu.utils.tpu_coord import pause_point
 
 
 class Evaler:
@@ -129,6 +130,9 @@ class Evaler:
         sums, hist_sums = {}, {}
         t_total = 0.0
         for s in range(max_steps):
+            # cooperative chip handoff between batches (utils/tpu_coord.py);
+            # per-batch reports are already host-synced, nothing in flight
+            pause_point()
             t0 = time.time()
             batch = next(pipe)
             report, evals = self.eval_step(self._state, batch)

@@ -27,6 +27,7 @@ from demo2program_tpu.parallel import make_mesh, batch_sharding
 from demo2program_tpu.train.step import (
     create_train_state, make_eval_step, make_optimizer, make_train_step)
 from demo2program_tpu.utils import log
+from demo2program_tpu.utils.tpu_coord import pause_point
 
 
 def config_from_dataset(args, dataset):
@@ -452,6 +453,10 @@ class Trainer:
         # (steps since the previous log sync), not the last iteration
         win_t, win_s = time.time(), start - 1
         for s in range(start, target):
+            # cooperative chip handoff: park between dispatches while a
+            # bench holds /tmp/tpu_pause (utils/tpu_coord.py)
+            if pause_point(lambda: jax.device_get(self.state.step)):
+                win_t, win_s = time.time(), s - 1  # pause out of sec/batch
             if profile_steps and s == profile_start:
                 # SURVEY.md §5: the reference has no tracing at all; capture
                 # a jax.profiler trace over a window of steps
@@ -535,6 +540,11 @@ class Trainer:
             self._write_metrics("train", b, report)
 
         while s < target:
+            # cooperative chip handoff: drain the in-flight chunk, park
+            # while a bench holds /tmp/tpu_pause (utils/tpu_coord.py)
+            if pause_point(lambda: jax.device_get(self.state.step)):
+                _flush()
+                win["t"], win["s"] = time.time(), s
             if s % args.test_sample_step == 0:
                 _flush()
                 self._test_sample()
