@@ -6,49 +6,29 @@
 # VAL-split checkpoint selection, TEST split reported at the chosen
 # checkpoint.
 #
-# Root-cause note on the r3 "degenerate starts" that killed the first
-# constant-LR attempt (commit 1c6f7c2): the r4 staircase-decay runs show
-# the SAME low point at 20k (summarizer k=3 val exec 0.106 @20k ->
-# 0.507 @40k -> 0.534 @60k) — the optimizer paths of the two recipes are
-# bit-identical for the first 10k steps (schedule is the only difference,
-# train/step.py:41-51), so the r3 20k snapshot was a slow TAKEOFF
-# mistaken for divergence, not a divergence. Meanwhile the decay recipe
-# freezes the model by 40-60k (LR 1e-3*0.5^(step//10k) = 1.5e-5 at 60k),
-# which is why the r4 per-k numbers plateaued under the published table.
-# This suite keeps LR at 1e-3 throughout and trains past the takeoff.
-# The val curve at {20k,40k,60k,80k,100k} is kept as the diagnosis
-# artifact.
+# Root-cause notes (full analysis in RESULTS.md "Per-k ablation root
+# cause"): the r3 "degenerate start" that killed the first constant-LR
+# attempt was a ~5-10k-step takeoff plateau judged from a single 20k
+# snapshot — the constant-LR and decay optimizer paths are bit-identical
+# for the first 10k steps (train/step.py:41-51). The r4 decay recipe
+# instead freezes LR to 1.5e-5 by 60k (summarizer k=3 still climbing) and
+# overfits synthesis k=3 to train loss 0.015 with val exec stuck ~0.44.
+# The decay summarizer k=5 run NEVER took off at all (test exec 0.083
+# after 60k steps), so takeoff is genuinely stochastic at small k: this
+# suite therefore retries a combo ONCE with a fresh seed when its best
+# val exec stays under the takeoff threshold — the last root-cause
+# candidate the r4 verdict asked to check (seed retries).
 #
 # Idempotent: a combo whose final test eval log exists is skipped; a
-# half-trained combo auto-resumes from its latest checkpoint.
+# half-trained run auto-resumes from its latest checkpoint.
 set -x
 cd /root/repo
 DS=datasets/karel_25k
+VAL_STEPS="20000 40000 60000 80000 100000"
+TAKEOFF=0.30
 
-for K in 3 5; do
-  for M in synthesis_baseline summarizer; do
-    D=train_dir/karel25k_${M}_k${K}_clr5
-    if grep -q "Final Avg Report" $D/eval/out_*_test.log 2>/dev/null; then
-      echo "combo $M k=$K already evaluated; skipping"
-      continue
-    fi
-    python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
-        --model $M --num_k $K --max_steps 100000 \
-        --train_dir $D --ckpt_save_step 5000 \
-        --test_sample_step 1000 --log_step 100 \
-        --cell_impl pallas
-    for STEP in 20000 40000 60000 80000 100000; do
-      if grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
-          2>/dev/null; then
-        continue
-      fi
-      python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
-          --dataset_type karel --quiet --pred_program \
-          --model $M --num_k $K --checkpoint $D/ckpt/$STEP/default \
-          --dataset_split val --max_steps 64 \
-          --output_dir $D/eval_val --cell_impl pallas
-    done
-    BEST=$(python - "$D" <<'EOF'
+pick_best() {
+  python - "$1" <<'EOF'
 import re, sys
 d = sys.argv[1]
 best_step, best_acc = None, -1.0
@@ -66,9 +46,47 @@ for step in (20000, 40000, 60000, 80000, 100000):
     print(f"val unseen exec @{step}: {acc:.3f}", file=sys.stderr)
     if acc > best_acc:
         best_step, best_acc = step, acc
-print(best_step or 100000)
+print(f"{best_step or 100000} {best_acc:.4f}")
 EOF
-)
+}
+
+run_combo() {  # $1=model $2=k $3=seed $4=train_dir -> sets BEST, BESTACC
+  local M=$1 K=$2 SEED=$3 D=$4
+  python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
+      --model $M --num_k $K --max_steps 100000 --seed $SEED \
+      --train_dir $D --ckpt_save_step 5000 \
+      --test_sample_step 1000 --log_step 100 \
+      --cell_impl pallas
+  local STEP
+  for STEP in $VAL_STEPS; do
+    if grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
+        2>/dev/null; then
+      continue
+    fi
+    python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
+        --dataset_type karel --quiet --pred_program \
+        --model $M --num_k $K --checkpoint $D/ckpt/$STEP/default \
+        --dataset_split val --max_steps 64 \
+        --output_dir $D/eval_val --cell_impl pallas
+  done
+  read -r BEST BESTACC <<< "$(pick_best "$D")"
+}
+
+for K in 3 5; do
+  for M in synthesis_baseline summarizer; do
+    D=train_dir/karel25k_${M}_k${K}_clr5
+    if grep -q "Final Avg Report" $D/eval/out_*_test.log \
+           $D*/eval/out_*_test.log 2>/dev/null; then
+      echo "combo $M k=$K already evaluated; skipping"
+      continue
+    fi
+    run_combo $M $K 123 $D
+    if python -c "import sys; sys.exit(0 if float('$BESTACC') < $TAKEOFF else 1)"; then
+      echo "combo $M k=$K seed 123 never took off (best val $BESTACC);"
+      echo "retrying once with seed 234"
+      D=train_dir/karel25k_${M}_k${K}_clr5_s234
+      run_combo $M $K 234 $D
+    fi
     python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
         --dataset_type karel --quiet --pred_program \
         --model $M --num_k $K --checkpoint $D/ckpt/$BEST/default \

@@ -72,13 +72,18 @@ if grep -q "K ABLATION CLR R5 DONE" /tmp/karel_ablation_clr5.log; then
   mkdir -p results/r5/karel_k_ablation_clr
   for K in 3 5; do
     for M in synthesis_baseline summarizer; do
-      D=train_dir/karel25k_${M}_k${K}_clr5
-      f=$(newest "$D/eval/out_*_test.log")
-      [ -n "$f" ] && cp "$f" \
-        results/r5/karel_k_ablation_clr/${M}_k${K}_clr5_test.log
-      for v in $D/eval_val/out_*_val.log; do
-        [ -e "$v" ] && cp "$v" \
-          results/r5/karel_k_ablation_clr/${M}_k${K}_$(basename "$v")
+      # the suite retries a no-takeoff combo once under <dir>_s234; the
+      # final test eval lives in whichever dir was accepted
+      for D in train_dir/karel25k_${M}_k${K}_clr5 \
+               train_dir/karel25k_${M}_k${K}_clr5_s234; do
+        sfx=$(basename "$D" | sed "s/.*clr5//")
+        f=$(newest "$D/eval/out_*_test.log")
+        [ -n "$f" ] && cp "$f" \
+          results/r5/karel_k_ablation_clr/${M}_k${K}_clr5${sfx}_test.log
+        for v in $D/eval_val/out_*_val.log; do
+          [ -e "$v" ] && cp "$v" \
+            results/r5/karel_k_ablation_clr/${M}_k${K}${sfx}_$(basename "$v")
+        done
       done
     done
   done
