@@ -26,6 +26,7 @@ cd /root/repo
 DS=datasets/karel_25k
 VAL_STEPS="20000 40000 60000 80000 100000"
 TAKEOFF=0.30
+KS=${KS:-"3 5"}   # k values to run; the r5 chain splits them around suite C
 
 pick_best() {
   python - "$1" <<'EOF'
@@ -72,7 +73,7 @@ run_combo() {  # $1=model $2=k $3=seed $4=train_dir -> sets BEST, BESTACC
   read -r BEST BESTACC <<< "$(pick_best "$D")"
 }
 
-for K in 3 5; do
+for K in $KS; do
   for M in synthesis_baseline summarizer; do
     D=train_dir/karel25k_${M}_k${K}_clr5
     if grep -q "Final Avg Report" $D/eval/out_*_test.log \
