@@ -21,10 +21,22 @@
 #
 # Idempotent: a combo whose final test eval log exists is skipped; a
 # half-trained run auto-resumes from its latest checkpoint.
+#
+# r5 mid-round revision: the completed k=3 pair at 100k steps was STILL
+# CLIMBING on val (synthesis 0.377@20k -> 0.493@100k; summarizer
+# 0.410@40k -> 0.490@100k, +3.4pt/20k at the end) and its test numbers
+# (0.509 / 0.516) still trail the published 0.585 / 0.606. The reference
+# driver trains to a 1,000,000-step ceiling (/root/reference/trainer.py:153)
+# so its per-k models saw far more optimization. Training here is ~1.5
+# ms/step on the chunked HBM loop (100k steps ~= 2.5 min), so fresh combos
+# (stage P2's k=5) now train straight to 300k with val evals at 9 points;
+# the k=3 pair is extended to 300k by karel_k_ablation_ext300_r5.sh,
+# invoked at the bottom when this script runs as stage P2.
 set -x
 cd /root/repo
 DS=datasets/karel_25k
-VAL_STEPS="20000 40000 60000 80000 100000"
+MAXS=${MAXS:-300000}
+VAL_STEPS="20000 40000 60000 80000 100000 150000 200000 250000 300000"
 TAKEOFF=0.30
 KS=${KS:-"3 5"}   # k values to run; the r5 chain splits them around suite C
 
@@ -33,7 +45,8 @@ pick_best() {
 import re, sys
 d = sys.argv[1]
 best_step, best_acc = None, -1.0
-for step in (20000, 40000, 60000, 80000, 100000):
+for step in (20000, 40000, 60000, 80000, 100000,
+             150000, 200000, 250000, 300000):
     try:
         txt = open(f"{d}/eval_val/out_{step}_val.log").read()
     except OSError:
@@ -54,12 +67,13 @@ EOF
 run_combo() {  # $1=model $2=k $3=seed $4=train_dir -> sets BEST, BESTACC
   local M=$1 K=$2 SEED=$3 D=$4
   python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
-      --model $M --num_k $K --max_steps 100000 --seed $SEED \
+      --model $M --num_k $K --max_steps $MAXS --seed $SEED \
       --train_dir $D --ckpt_save_step 5000 \
       --test_sample_step 1000 --log_step 100 \
       --cell_impl pallas
   local STEP
   for STEP in $VAL_STEPS; do
+    [ "$STEP" -le "$MAXS" ] || continue
     if grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
         2>/dev/null; then
       continue
@@ -95,3 +109,14 @@ for K in $KS; do
   done
 done
 echo "K ABLATION CLR R5 DONE"
+
+# When running as stage P2 (KS=5), also extend the already-accepted k=3
+# pair from 100k to 300k — the chain script can't be edited while running,
+# so the extension rides here, AFTER the stage marker so a crash in the
+# extension can't void P2's harvest. The ext script harvests its own
+# results into results/r5/karel_k_ablation_clr/.
+if [ "$KS" = "5" ]; then
+  KS=3 TARGET=300000 bash scripts/karel_k_ablation_ext300_r5.sh \
+      > /tmp/karel_ablation_ext300_k3.log 2>&1 \
+    || echo "k=3 ext300 FAILED (see /tmp/karel_ablation_ext300_k3.log)"
+fi
