@@ -10,6 +10,12 @@
 # stage-runner process (one HBM cache push), then beam-10 +
 # execution-rerank eval of the full model.
 # Idempotent: completed stages are skipped, crashed stages auto-resume.
+#
+# r5 protocol fix: stages now train at CONSTANT Adam 1e-3 (the runner's
+# new default) — the reference's doom commands never pass
+# --lr_weight_decay (/root/reference/README.md:116-133, trainer.py:275),
+# and under the old hardcoded decay flag the warm-started stage 2 resumed
+# the staircase at ~3e-5 -> 1e-6, i.e. an effectively frozen finetune.
 set -x
 cd /root/repo
 STEPS1=${STEPS1:-50000}

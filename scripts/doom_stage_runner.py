@@ -17,6 +17,15 @@ Usage:
   python scripts/doom_stage_runner.py --dataset_path datasets/X --num_k 25 \
       --stage model=full,bs=8,steps=50000,dir=train_dir/x_s2,warm=...ckpt \
       --stage model=synthesis_baseline,bs=32,steps=25000,dir=train_dir/y
+
+LR protocol (r5 fix): stages train at CONSTANT Adam 1e-3 unless the spec
+passes decay=1. The reference's ViZDoom commands never pass
+--lr_weight_decay (README.md:116-133; trainer.py:275 defaults it False),
+so its two-stage doom training ran at constant 1e-3 throughout. The old
+hardcoded --lr_weight_decay here was doubly wrong: warm-start restores
+the full optimizer state including the Adam step count, so stage 2
+resumed the staircase at 1e-3*0.5^5 ~= 3e-5 decaying to 1e-6 — an
+effectively FROZEN finetune stage (the r3 doom suite trained this way).
 """
 import argparse
 import gc
@@ -59,11 +68,13 @@ def main():
                 "--dataset_path", wargs.dataset_path,
                 "--num_k", str(wargs.num_k), "--cell_impl", "pallas",
                 "--model", st["model"], "--batch_size", st["bs"],
-                "--max_steps", st["steps"], "--lr_weight_decay",
+                "--max_steps", st["steps"],
                 "--train_dir", st["dir"],
                 "--ckpt_save_step", st.get("save", "5000"),
                 "--test_sample_step", st.get("sample", "2500"),
                 "--log_step", "100"]
+        if st.get("decay", "0") == "1":
+            argv.append("--lr_weight_decay")
         if not _stage_already_done(st["dir"]):
             if st.get("warm"):
                 argv += ["--checkpoint", st["warm"]]
