@@ -41,7 +41,15 @@ def pause_point(sync_fn=None):
     if given, is called once before acking the pause — pass a cheap
     device->host fetch so the ack means "chip actually quiet", not just
     "host loop parked while dispatched work still runs". Returns True if
-    it actually paused (callers reset their throughput windows on it)."""
+    it actually paused (callers reset their throughput windows on it).
+
+    D2P_TPU_PAUSE_EXEMPT=1 makes a process ignore pause requests: set it
+    on the workload the pause was requested FOR, e.g. a short
+    high-priority suite interleaved into a long training chain's window
+    (scripts/run_p2_interleaved.sh) — the long chain parks, the exempt
+    suite runs exclusively, the requester releases when done."""
+    if os.environ.get("D2P_TPU_PAUSE_EXEMPT"):
+        return False
     if not _pause_requested():
         return False
     if sync_fn is not None:

@@ -83,3 +83,16 @@ def test_wait_for_quiet_no_contenders():
         tpu_coord.release_pause()
     del monkey
     assert isinstance(quiet, bool)
+
+
+def test_pause_exempt_env_ignores_request(monkeypatch):
+    """D2P_TPU_PAUSE_EXEMPT=1 lets the pause requester's own workload run
+    through a live pause request (scripts/run_p2_interleaved.sh)."""
+    tpu_coord.request_pause()
+    monkeypatch.setenv("D2P_TPU_PAUSE_EXEMPT", "1")
+    try:
+        assert tpu_coord.pause_point() is False
+        assert not os.path.exists(
+            tpu_coord.PAUSED_MARKER_FMT % os.getpid())
+    finally:
+        tpu_coord.release_pause()
