@@ -110,13 +110,17 @@ def main():
                           st["dir"], done[0])
                 continue
             log.infov("=== eval %s ===", st["dir"])
-            evaler_cli.main([
-                "--dataset_type", "vizdoom",
-                "--dataset_path", wargs.dataset_path,
-                "--num_k", str(wargs.num_k), "--cell_impl", "pallas",
-                "--quiet", "--pred_program", "--model", st["model"],
-                "--train_dir", st["dir"],
-                "--output_dir", st["dir"] + "/eval"])
+            try:
+                evaler_cli.main([
+                    "--dataset_type", "vizdoom",
+                    "--dataset_path", wargs.dataset_path,
+                    "--num_k", str(wargs.num_k), "--cell_impl", "pallas",
+                    "--quiet", "--pred_program", "--model", st["model"],
+                    "--train_dir", st["dir"],
+                    "--output_dir", st["dir"] + "/eval"])
+            except Exception:  # a failed eval must not kill later stages
+                log.error("eval for %s FAILED; continuing suite",
+                          st["dir"], exc_info=True)
             gc.collect()
     log.infov("RUNNER DONE (%d stages)", len(stages))
 
