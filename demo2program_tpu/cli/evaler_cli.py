@@ -49,6 +49,13 @@ def main(argv=None):
                         "no test-demo information). 0 = use num_k")
     p.add_argument("--no_write_summary", action="store_true", default=False)
     p.add_argument("--summary_file", type=str, default=None)
+    p.add_argument("--sweep_steps", type=str, default="",
+                   help="comma-separated checkpoint steps to evaluate in ONE "
+                        "process (requires --train_dir): the jitted eval "
+                        "graph compiles once and each checkpoint only pays "
+                        "its restore. Steps whose out_<step>_<split>.log "
+                        "already contains a Final Avg Report are skipped; "
+                        "missing checkpoint dirs are skipped with a warning")
     args = p.parse_args(argv)
     args.write_summary = not args.no_write_summary
     if args.output_dir is None:
@@ -72,6 +79,41 @@ def main(argv=None):
 
     if not args.max_steps > 0:
         args.max_steps = len(target.ids) // args.batch_size
+
+    if args.sweep_steps:
+        import os
+        import re
+        if not args.train_dir:
+            raise SystemExit("--sweep_steps requires --train_dir")
+        steps = [int(s) for s in args.sweep_steps.split(",") if s.strip()]
+        todo = []
+        for step in steps:
+            ck = os.path.join(os.path.abspath(args.train_dir), "ckpt",
+                              str(step), "default")
+            if not os.path.isdir(ck):
+                log.warn("sweep: no checkpoint at step %d; skipping", step)
+                continue
+            out = os.path.join(args.output_dir,
+                               f"out_{step}_{args.dataset_split}.log")
+            try:
+                if re.search(r"Final Avg Report", open(out).read()):
+                    log.info("sweep: step %d already evaluated; skipping",
+                             step)
+                    continue
+            except OSError:
+                pass
+            todo.append((step, ck))
+        if not todo:
+            log.infov("sweep: nothing to do")
+            return
+        args.checkpoint = todo[0][1]
+        evaler = Evaler(args, target)
+        log.warning("dataset: %s", args.dataset_path)
+        for step, ck in todo:
+            if ck != evaler.checkpoint:
+                evaler.set_checkpoint(ck)
+            evaler.eval_run()
+        return
 
     evaler = Evaler(args, target)
     log.warning("dataset: %s", args.dataset_path)

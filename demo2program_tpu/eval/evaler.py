@@ -101,6 +101,28 @@ class Evaler:
         self.batch_stats = restored.get("batch_stats", {}) or {}
         log.info("Loaded from checkpoint: %s", path)
 
+    def set_checkpoint(self, path):
+        """Re-aim this Evaler at another checkpoint of the SAME run.
+
+        Checkpoint-sweep support (val-selection protocols evaluate every
+        saved step): params/batch_stats swap while the jitted eval_step is
+        reused, so only the first checkpoint of a sweep pays the XLA
+        compile + process startup (measured ~2-6 min per evaler_cli
+        process on the tunnel TPU vs ~20 s of actual eval compute).
+        """
+        from demo2program_tpu.train.step import TrainState
+        self._restore(path)
+        self.checkpoint = os.path.abspath(path)
+        self.checkpoint_name = os.path.basename(
+            os.path.dirname(self.checkpoint.rstrip("/")))
+        self._state = TrainState(step=np.zeros((), np.int32),
+                                 params=self.params,
+                                 batch_stats=self.batch_stats,
+                                 opt_state=None)
+        self.summary_file = self.checkpoint + \
+            "_report_testdata{}_num_k{}.txt".format(
+                self.args.max_steps * self.args.batch_size, self.args.num_k)
+
     # ---------------------------------------------------------------------
     def eval_run(self):
         args = self.args

@@ -41,16 +41,14 @@ EOF
 valsel() {  # $1=model $2=train_dir $3=candidate steps
   local M=$1 D=$2 STEPS=$3 STEP BEST f v
   [ -d "$D/ckpt" ] || { echo "no ckpts in $D; skipping"; return; }
-  for STEP in $STEPS; do
-    [ -d $D/ckpt/$STEP ] || continue
-    grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
-        2>/dev/null && continue
-    python -m demo2program_tpu.cli.evaler_cli \
-        --dataset_type vizdoom --dataset_path $DS --num_k 25 \
-        --cell_impl pallas --quiet --pred_program \
-        --model $M --checkpoint $D/ckpt/$STEP/default \
-        --dataset_split val --output_dir $D/eval_val
-  done
+  # all candidate steps in one process: the eval graph compiles once
+  # (--sweep_steps skips already-done logs + missing ckpts itself)
+  python -m demo2program_tpu.cli.evaler_cli \
+      --dataset_type vizdoom --dataset_path $DS --num_k 25 \
+      --cell_impl pallas --quiet --pred_program \
+      --model $M --train_dir $D \
+      --dataset_split val --output_dir $D/eval_val \
+      --sweep_steps "$(echo $STEPS | tr ' ' ',')"
   BEST=$(pick_best "$D" "$STEPS")
   if ! grep -q "Final Avg Report" $D/eval_valsel/out_${BEST}_test.log \
       2>/dev/null; then

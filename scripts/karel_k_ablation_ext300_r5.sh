@@ -57,16 +57,14 @@ for K in $KS; do
         --model $M --num_k $K --max_steps $TARGET \
         --seed $SEED --train_dir $D --ckpt_save_step 5000 \
         --test_sample_step 1000 --log_step 100 --cell_impl pallas
-    for STEP in $NEW_VALS; do
-      grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
-          2>/dev/null && continue
-      [ -d $D/ckpt/$STEP ] || continue
-      python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
-          --dataset_type karel --quiet --pred_program \
-          --model $M --num_k $K --checkpoint $D/ckpt/$STEP/default \
-          --dataset_split val --max_steps 64 \
-          --output_dir $D/eval_val --cell_impl pallas
-    done
+    # one process for all new val points: the jitted eval graph compiles
+    # once (--sweep_steps skips already-done logs + missing ckpts itself)
+    python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
+        --dataset_type karel --quiet --pred_program \
+        --model $M --num_k $K --train_dir $D \
+        --dataset_split val --max_steps 64 \
+        --output_dir $D/eval_val --cell_impl pallas \
+        --sweep_steps "$(echo $NEW_VALS | tr ' ' ',')"
     BEST=$(pick_best_all "$D")
     if ! grep -q "Final Avg Report" $D/eval/out_${BEST}_test.log \
         2>/dev/null; then

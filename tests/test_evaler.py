@@ -124,3 +124,54 @@ def test_evaler_beam_execution_rerank(tiny_dataset_dir, tmp_path):  # noqa: F811
     seen_beam = hist_beam["greedy_program_execution_acc_hist"][-1]
     seen_rr = hist_rr["greedy_program_execution_acc_hist"][-1]
     assert seen_rr >= seen_beam - 1e-6
+
+
+def test_evaler_cli_sweep_steps(tiny_dataset_dir, tmp_path):  # noqa: F811
+    """--sweep_steps evaluates several checkpoints in ONE process (one
+    compile), names artifacts per step, and is idempotent on rerun."""
+    import shutil
+
+    from demo2program_tpu.cli import evaler_cli
+    from demo2program_tpu.data.dataset import create_default_splits
+    from demo2program_tpu.train.trainer import Trainer
+    from tests.test_train_e2e import _args
+
+    ds_train, ds_test, _ = create_default_splits(tiny_dataset_dir, num_k=3)
+    targs = _args(tiny_dataset_dir, tmp_path, model="synthesis_baseline",
+                  batch_size=4)
+    trainer = Trainer(targs, ds_train, ds_test)
+    trainer.train(max_steps=2)
+    trainer.save()
+    step = int(trainer.state.step)
+    ckpt_root = os.path.join(trainer.ckpt_dir)
+    # a second restorable checkpoint under a different step name is enough
+    # to exercise the sweep (restore + per-step naming + skip logic)
+    shutil.copytree(os.path.join(ckpt_root, str(step)),
+                    os.path.join(ckpt_root, str(step + 2)))
+
+    out_dir = str(tmp_path / "sweep_out")
+    argv = ["--dataset_path", tiny_dataset_dir, "--dataset_type", "karel",
+            "--quiet", "--pred_program", "--model", "synthesis_baseline",
+            "--num_k", "3", "--batch_size", "4", "--max_steps", "1",
+            "--train_dir", targs.train_dir, "--output_dir", out_dir,
+            "--dataset_split", "test", "--num_lstm_cell_units", "32",
+            "--demo_aggregation", "avgpool",
+            # step+4 does not exist: must be skipped with a warning
+            "--sweep_steps", f"{step},{step + 2},{step + 4}"]
+    evaler_cli.main(argv)
+
+    logs = {}
+    for s in (step, step + 2):
+        p = os.path.join(out_dir, f"out_{s}_test.log")
+        assert os.path.exists(p), p
+        with open(p) as f:
+            assert "Final Avg Report" in f.read()
+        logs[s] = os.path.getmtime(p)
+    assert not os.path.exists(
+        os.path.join(out_dir, f"out_{step + 4}_test.log"))
+
+    # idempotent: a rerun skips everything and rewrites nothing
+    evaler_cli.main(argv)
+    for s, mtime in logs.items():
+        assert os.path.getmtime(
+            os.path.join(out_dir, f"out_{s}_test.log")) == mtime
