@@ -178,6 +178,7 @@ class Evaler:
 
             if args.pred_program and evals:
                 log_file.write(msg + "\n")
+                log_file.flush()  # per-batch heartbeat for stall watchdogs
                 self._write_artifacts(batch, evals, scores,
                                       text_file, hdf5_file)
             if args.result_data and evals:

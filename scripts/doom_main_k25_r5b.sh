@@ -47,8 +47,16 @@ harvest() {  # $1 = train_dir basename, $2 = eval subdir (default eval)
 }
 
 # ---- phase F: full model (one HBM cache push for both stages) ----
+# watchdog: the tunnel intermittently wedges a client forever (zero CPU,
+# hung device RPC). 2100 s stale > the worst legitimate silent window
+# (HBM cache push + first train-step compile); stages resume exactly on
+# relaunch, evals skip completed logs (which now flush per batch).
+WD="python scripts/watchdog_run.py --stale 2100 --retries 3
+    --watch train_dir/doom_main2k5_*/metrics.jsonl
+    --watch train_dir/doom_main2k5_*/eval*/out_*
+    --watch train_dir/doom_main2k5_*/samples.txt --"
 if [ "$PHASE" != "B" ]; then
-python scripts/doom_stage_runner.py \
+$WD python scripts/doom_stage_runner.py \
     --dataset_path $DS --num_k 25 \
     --stage model=full,bs=32,steps=$STEPS1,dir=train_dir/doom_main2k5_full_s1 \
     --stage model=full,bs=8,steps=$STEPS2,dir=train_dir/doom_main2k5_full_s2,warm=train_dir/doom_main2k5_full_s1/ckpt/$STEPS1/default
@@ -62,7 +70,7 @@ if [ -d train_dir/doom_main2k5_full_s2/ckpt ] \
    && ! grep -q "Final Avg Report" \
         train_dir/doom_main2k5_full_s2/eval_rerank/out_*_test.log 2>/dev/null
 then
-  timeout 5400 python -m demo2program_tpu.cli.evaler_cli \
+  timeout 7200 $WD python -m demo2program_tpu.cli.evaler_cli \
       --dataset_type vizdoom --dataset_path $DS --num_k 25 \
       --cell_impl pallas --model full \
       --train_dir train_dir/doom_main2k5_full_s2 \
@@ -87,7 +95,7 @@ fi
 
 # ---- phase B: baselines (second cache push, ~8 min — accepted so the
 # headline full-model rows could land first) ----
-python scripts/doom_stage_runner.py \
+$WD python scripts/doom_stage_runner.py \
     --dataset_path $DS --num_k 25 \
     --stage model=synthesis_baseline,bs=32,steps=$SSTEPS,dir=train_dir/doom_main2k5_synthesis \
     --stage model=induction_baseline,bs=32,steps=$ISTEPS,dir=train_dir/doom_main2k5_induction

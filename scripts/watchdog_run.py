@@ -44,6 +44,22 @@ def newest_mtime(patterns):
 def run_once(cmd, patterns, stale_sec, poll_sec):
     """Returns (exit_code|None, stalled: bool)."""
     child = subprocess.Popen(cmd, start_new_session=True)
+
+    def forward(signum, _frame):
+        # an outer `timeout`/TERM must not orphan the child's session
+        try:
+            os.killpg(child.pid, signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+        time.sleep(3)
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, forward)
+    signal.signal(signal.SIGINT, forward)
     started = time.time()
     while True:
         try:
