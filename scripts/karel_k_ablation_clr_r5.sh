@@ -66,24 +66,24 @@ EOF
 
 run_combo() {  # $1=model $2=k $3=seed $4=train_dir -> sets BEST, BESTACC
   local M=$1 K=$2 SEED=$3 D=$4
-  python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
+  # watchdog: the tunnel intermittently wedges a client forever; training
+  # resumes exactly on relaunch (r5 observed wedges, scripts/watchdog_run.py)
+  python scripts/watchdog_run.py --stale 1500 --retries 3 \
+      --watch "$D/metrics.jsonl" --watch "$D/samples.txt" -- \
+    python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
       --model $M --num_k $K --max_steps $MAXS --seed $SEED \
       --train_dir $D --ckpt_save_step 5000 \
       --test_sample_step 1000 --log_step 100 \
       --cell_impl pallas
-  local STEP
-  for STEP in $VAL_STEPS; do
-    [ "$STEP" -le "$MAXS" ] || continue
-    if grep -q "Final Avg Report" $D/eval_val/out_${STEP}_val.log \
-        2>/dev/null; then
-      continue
-    fi
+  # all val points in ONE process: the eval graph compiles once
+  python scripts/watchdog_run.py --stale 1200 --retries 3 \
+      --watch "$D/eval_val/out_*" -- \
     python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
-        --dataset_type karel --quiet --pred_program \
-        --model $M --num_k $K --checkpoint $D/ckpt/$STEP/default \
-        --dataset_split val --max_steps 64 \
-        --output_dir $D/eval_val --cell_impl pallas
-  done
+      --dataset_type karel --quiet --pred_program \
+      --model $M --num_k $K --train_dir $D \
+      --dataset_split val --max_steps 64 \
+      --output_dir $D/eval_val --cell_impl pallas \
+      --sweep_steps "$(echo $VAL_STEPS | tr ' ' ',')"
   read -r BEST BESTACC <<< "$(pick_best "$D")"
 }
 
@@ -102,13 +102,25 @@ for K in $KS; do
       D=train_dir/karel25k_${M}_k${K}_clr5_s234
       run_combo $M $K 234 $D
     fi
-    python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
+    python scripts/watchdog_run.py --stale 1200 --retries 3 \
+        --watch "$D/eval/out_*" -- \
+      python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
         --dataset_type karel --quiet --pred_program \
         --model $M --num_k $K --checkpoint $D/ckpt/$BEST/default \
         --output_dir $D/eval --cell_impl pallas
   done
 done
 echo "K ABLATION CLR R5 DONE"
+
+# When running as stage K10, also rescue the summarizer k=5 row (its
+# seed-123 run crossed the takeoff threshold only at ~250k and landed
+# mid-takeoff; scripts/summarizer_k5_fix.sh extends it to 500k + runs a
+# fresh seed-234, best-val across both). Rides after the stage marker so
+# a crash here can't void the k=10 harvest.
+if [ "$KS" = "10" ]; then
+  bash scripts/summarizer_k5_fix.sh > /tmp/summarizer_k5_fix.log 2>&1 \
+    || echo "summarizer k5 fix FAILED (see /tmp/summarizer_k5_fix.log)"
+fi
 
 # When running as stage P2 (KS=5), also extend the already-accepted k=3
 # pair from 100k to 300k — the chain script can't be edited while running,

@@ -21,7 +21,9 @@ D2=train_dir/karel25k_summarizer_k5_clr5_s234b
 # ---- 1: extend seed 123 to 500k (resume.json rewrite, ext300 pattern) ----
 if [ -d $D1/ckpt/300000 ] && [ ! -d $D1/ckpt/500000 ]; then
   echo '{"target_step": 500000}' > $D1/resume.json
-  python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
+  python scripts/watchdog_run.py --stale 1500 --retries 3 \
+      --watch "$D1/metrics.jsonl" --watch "$D1/samples.txt" -- \
+    python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
       --model summarizer --num_k 5 --max_steps 500000 --seed 123 \
       --train_dir $D1 --ckpt_save_step 5000 --test_sample_step 1000 \
       --log_step 100 --cell_impl pallas
@@ -34,7 +36,9 @@ python -m demo2program_tpu.cli.evaler_cli --dataset_path $DS \
 
 # ---- 2: fresh seed 234 to 300k ----
 if [ ! -d $D2/ckpt/300000 ]; then
-  python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
+  python scripts/watchdog_run.py --stale 1500 --retries 3 \
+      --watch "$D2/metrics.jsonl" --watch "$D2/samples.txt" -- \
+    python -m demo2program_tpu.cli.trainer_cli --dataset_path $DS \
       --model summarizer --num_k 5 --max_steps 300000 --seed 234 \
       --train_dir $D2 --ckpt_save_step 5000 --test_sample_step 1000 \
       --log_step 100 --cell_impl pallas
