@@ -67,6 +67,11 @@ def run_once(cmd, patterns, stale_sec, poll_sec):
             return code, False
         except subprocess.TimeoutExpired:
             pass
+        if os.path.exists("/tmp/tpu_pause"):
+            # a cooperative pause (bench / interleave, utils/tpu_coord.py)
+            # parks the child on purpose — that is not a stall
+            started = time.time()
+            continue
         progress = max(newest_mtime(patterns), started)
         if time.time() - progress > stale_sec:
             print(f"[watchdog] no progress for {stale_sec}s; killing pgid "
