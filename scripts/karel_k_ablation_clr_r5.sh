@@ -87,6 +87,17 @@ run_combo() {  # $1=model $2=k $3=seed $4=train_dir -> sets BEST, BESTACC
   read -r BEST BESTACC <<< "$(pick_best "$D")"
 }
 
+# When running as stage K10 (right after doom phase F), first grab the
+# val-selected doom full-model rows while the checkpoints are fresh —
+# train loss hit 0.03 by step 3.3k on the 2500-program view, so the
+# final checkpoint may sit well past the generalization peak and the
+# chain's stage V (last) may not fit the round. Baselines skip (no ckpt
+# dirs yet); the full stage-V rerun at the end is idempotent over this.
+if [ "$KS" = "10" ]; then
+  bash scripts/doom_k25_valsel_r5b.sh > /tmp/doom_valsel_early.log 2>&1 \
+    || echo "early doom valsel FAILED (see /tmp/doom_valsel_early.log)"
+fi
+
 for K in $KS; do
   for M in synthesis_baseline summarizer; do
     D=train_dir/karel25k_${M}_k${K}_clr5
